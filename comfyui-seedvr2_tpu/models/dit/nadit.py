@@ -1,0 +1,437 @@
+"""NaDiT — Native-resolution Diffusion Transformer, TPU-native.
+
+Functionally equivalent to the reference NaDiT 3B/7B
+(src/models/dit_3b/nadit.py:39-248, src/models/dit_7b/nadit.py:25-178) but
+redesigned for XLA:
+
+ - No varlen packing: the pipeline runs same-shape batches, so activations are
+   dense (B, L, D) arrays and 3D windows become static gather/attend/scatter
+   with per-shape groups (models/dit/windows.py).
+ - Window indices, RoPE tables and the patchify layout are computed at trace
+   time from a DiTPlan; inside jit everything is static-shape matmul + one
+   flash-attention call per window shape group.
+ - The parameter tree mirrors the reference checkpoint key structure
+   (blocks.{i}.attn.proj_qkv.{vid,txt,all}...), so safetensors load is a
+   rename-free transpose.
+
+Faithfully replicated quirks (verified against the reference on CPU):
+ - 3B `vid_out_ada` reuses the *block attn-layer* emb modulation because of a
+   cache-key collision in the reference (modulation.py:80-86 caches
+   `emb_repeat_0_vid` across blocks AND the output ada whose own reshape is
+   shape-inconsistent); released checkpoints bake in this behavior.
+ - MM sharing: 3B blocks >= mm_layers share vid/txt weights ("all" branch);
+   the 3B last block has no txt mlp/ada branch; 7B qk-norms are never shared.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.configs import DiTConfig
+from ...ops.attention import attention
+from ...ops.layers import linear, mlp_forward, rms_norm, silu, swiglu_hidden_dim
+from . import rope as rope_lib
+from .windows import LayerPlan, build_layer_plan
+
+
+# --------------------------------------------------------------------------
+# Plans
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RopedGroup:
+    shape: Tuple[int, int, int]
+    idx: np.ndarray        # (n, wlen) int32
+    cos: Optional[np.ndarray]  # (wlen, rot) fp32
+    sin: Optional[np.ndarray]
+
+
+@dataclass(frozen=True)
+class RopedLayerPlan:
+    groups: Tuple[RopedGroup, ...]
+    inv: np.ndarray
+    num_windows: int
+
+
+@dataclass(frozen=True)
+class DiTPlan:
+    """Static per-(T,H,W,txt_len) geometry for a jitted NaDiT forward."""
+
+    vid_shape: Tuple[int, int, int]   # pre-patch latent (T, H, W)
+    grid: Tuple[int, int, int]        # post-patch token grid (Tp, Hp, Wp)
+    txt_len: int
+    layer_plans: Dict[str, RopedLayerPlan]
+    txt_cos: Optional[np.ndarray]
+    txt_sin: Optional[np.ndarray]
+
+    @property
+    def seq_len(self) -> int:
+        t, h, w = self.grid
+        return t * h * w
+
+
+def build_dit_plan(cfg: DiTConfig, vid_shape: Tuple[int, int, int],
+                   txt_len: int) -> DiTPlan:
+    T, H, W = vid_shape
+    pt, ph, pw = cfg.patch_size
+    assert H % ph == 0 and W % pw == 0, "latent H/W must be patch-divisible"
+    # temporal: first frame repeated so T % pt == 1 is handled (patch_v1.py:89)
+    Tp = (T + pt - 1) // pt if T % pt != 0 or pt == 1 else T // pt
+    if pt == 1:
+        Tp = T
+    grid = (Tp, H // ph, W // pw)
+
+    layer_plans = {}
+    for method in ("window", "shifted_window"):
+        base = build_layer_plan(grid, cfg.window, method)
+        groups = []
+        for g in base.groups:
+            if cfg.rope_type == "mmrope3d":
+                cos, sin = rope_lib.mmrope3d_video_table(
+                    g.shape, txt_len, cfg.rope_dim)
+            elif cfg.rope_type == "rope3d_window":
+                cos, sin = rope_lib.rope3d_pixel_table(g.shape, cfg.rope_dim)
+            else:
+                cos = sin = None
+            groups.append(RopedGroup(shape=g.shape, idx=g.idx, cos=cos, sin=sin))
+        layer_plans[method] = RopedLayerPlan(
+            groups=tuple(groups), inv=base.inv, num_windows=base.num_windows)
+
+    if cfg.rope_type == "mmrope3d":
+        txt_cos, txt_sin = rope_lib.mmrope3d_text_table(txt_len, cfg.rope_dim)
+    else:
+        txt_cos = txt_sin = None
+
+    return DiTPlan(vid_shape=vid_shape, grid=grid, txt_len=txt_len,
+                   layer_plans=layer_plans, txt_cos=txt_cos, txt_sin=txt_sin)
+
+
+# --------------------------------------------------------------------------
+# Parameter init (shapes mirror the reference checkpoints)
+# --------------------------------------------------------------------------
+
+
+def _linear_init(key, d_in, d_out, bias=True, dtype=jnp.bfloat16):
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / np.sqrt(d_in)
+    p = {"w": jax.random.uniform(k1, (d_in, d_out), jnp.float32,
+                                 -bound, bound).astype(dtype)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (d_out,), jnp.float32,
+                                    -bound, bound).astype(dtype)
+    return p
+
+
+def _mm_branches(cfg: DiTConfig, i: int) -> List[str]:
+    if cfg.block_shared(i):
+        return ["all"]
+    if cfg.block_vid_only(i):
+        return ["vid"]
+    return ["vid", "txt"]
+
+
+def init_dit_params(key, cfg: DiTConfig, dtype=jnp.bfloat16) -> dict:
+    keys = iter(jax.random.split(key, 20 + cfg.num_layers * 40))
+    D, Dh, Hn = cfg.vid_dim, cfg.head_dim, cfg.heads
+    inner = Hn * Dh
+    pt, ph, pw = cfg.patch_size
+
+    params = {
+        "vid_in": {"proj": _linear_init(next(keys),
+                                        cfg.vid_in_channels * pt * ph * pw, D,
+                                        dtype=dtype)},
+        "emb_in": {
+            "proj_in": _linear_init(next(keys), 256, D, dtype=dtype),
+            "proj_hid": _linear_init(next(keys), D, D, dtype=dtype),
+            "proj_out": _linear_init(next(keys), D, cfg.emb_dim, dtype=dtype),
+        },
+        "vid_out": {"proj": _linear_init(next(keys), D,
+                                         cfg.vid_out_channels * pt * ph * pw,
+                                         dtype=dtype)},
+    }
+    if cfg.txt_in_dim and cfg.txt_in_dim != cfg.txt_dim:
+        params["txt_in"] = _linear_init(next(keys), cfg.txt_in_dim, D,
+                                        dtype=dtype)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        qkv_branches = ["all"] if cfg.block_shared(i) else ["vid", "txt"]
+        mlp_branches = _mm_branches(cfg, i)
+        # 7B qk-norms are never shared (mmdit_window_block.py:51-52).
+        norm_branches = (qkv_branches if cfg.family == "dit_3b"
+                         else ["vid", "txt"])
+        blk = {
+            "attn": {
+                "proj_qkv": {b: _linear_init(next(keys), D, inner * 3,
+                                             bias=cfg.qk_bias, dtype=dtype)
+                             for b in qkv_branches},
+                "proj_out": {b: _linear_init(next(keys), inner, D, dtype=dtype)
+                             for b in qkv_branches},
+                "norm_q": {b: {"weight": jnp.ones((Dh,), dtype)}
+                           for b in norm_branches},
+                "norm_k": {b: {"weight": jnp.ones((Dh,), dtype)}
+                           for b in norm_branches},
+            },
+        }
+        if cfg.mlp_type == "swiglu":
+            hidden = swiglu_hidden_dim(D, cfg.expand_ratio)
+            blk["mlp"] = {b: {
+                "proj_in_gate": _linear_init(next(keys), D, hidden, bias=False,
+                                             dtype=dtype),
+                "proj_in": _linear_init(next(keys), D, hidden, bias=False,
+                                        dtype=dtype),
+                "proj_out": _linear_init(next(keys), hidden, D, bias=False,
+                                         dtype=dtype),
+            } for b in mlp_branches}
+        else:
+            blk["mlp"] = {b: {
+                "proj_in": _linear_init(next(keys), D, D * cfg.expand_ratio,
+                                        dtype=dtype),
+                "proj_out": _linear_init(next(keys), D * cfg.expand_ratio, D,
+                                         dtype=dtype),
+            } for b in mlp_branches}
+        blk["ada"] = {}
+        for b in mlp_branches:
+            ada = {}
+            for layer in ("attn", "mlp"):
+                k1, k2, k3 = jax.random.split(next(keys), 3)
+                ada[f"{layer}_shift"] = (
+                    jax.random.normal(k1, (D,)) / np.sqrt(D)).astype(dtype)
+                ada[f"{layer}_scale"] = (
+                    jax.random.normal(k2, (D,)) / np.sqrt(D) + 1).astype(dtype)
+                ada[f"{layer}_gate"] = (
+                    jax.random.normal(k3, (D,)) / np.sqrt(D)).astype(dtype)
+            blk["ada"][b] = ada
+        blocks.append(blk)
+    params["blocks"] = blocks
+
+    if cfg.vid_out_norm:
+        params["vid_out_norm"] = {"weight": jnp.ones((D,), dtype)}
+        k1, k2 = jax.random.split(next(keys))
+        params["vid_out_ada"] = {
+            "out_shift": (jax.random.normal(k1, (D,)) / np.sqrt(D)).astype(dtype),
+            "out_scale": (jax.random.normal(k2, (D,)) / np.sqrt(D) + 1).astype(dtype),
+        }
+    return params
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+
+def _pick(p: dict, branch: str) -> dict:
+    """MMModule branch resolution: shared weights live under 'all'."""
+    return p["all"] if "all" in p else p[branch]
+
+
+def _time_embedding(params, timestep: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Sinusoidal(256) -> SiLU MLP -> (B, 6*D). emb = [sin | cos], no flip."""
+    half = 128
+    exponent = -np.log(10000.0) * np.arange(half, dtype=np.float32) / half
+    freqs = jnp.asarray(np.exp(exponent))
+    arg = timestep.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1).astype(dtype)
+    emb = linear(emb, params["proj_in"])
+    emb = silu(emb)
+    emb = linear(emb, params["proj_hid"])
+    emb = silu(emb)
+    return linear(emb, params["proj_out"])
+
+
+def _ada_in(x, shift_a, scale_a, p_ada, layer: str):
+    scale_b = p_ada[f"{layer}_scale"].astype(x.dtype)
+    shift_b = p_ada[f"{layer}_shift"].astype(x.dtype)
+    return x * (scale_a[:, None, :].astype(x.dtype) + scale_b) + (
+        shift_a[:, None, :].astype(x.dtype) + shift_b)
+
+
+def _ada_out(x, gate_a, p_ada, layer: str):
+    gate_b = p_ada[f"{layer}_gate"].astype(x.dtype)
+    return x * (gate_a[:, None, :].astype(x.dtype) + gate_b)
+
+
+def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
+                      layer_plan: RopedLayerPlan):
+    """Joint windowed multi-modal attention for one block.
+
+    xv: (B, L, D) video tokens; xt: (B, Ltxt, D) text tokens.
+    Per window shape group: gather -> rope -> [vid | txt] joint attention ->
+    scatter vid, mean-coalesce txt over windows (na.py:396-417).
+    """
+    B, L, _ = xv.shape
+    Hn, Dh = cfg.heads, cfg.head_dim
+
+    def qkv(x, branch):
+        out = linear(x, _pick(p_attn["proj_qkv"], branch))
+        out = out.reshape(*x.shape[:-1], 3, Hn, Dh)
+        return out[..., 0, :, :], out[..., 1, :, :], out[..., 2, :, :]
+
+    qv, kv, vv = qkv(xv, "vid")
+    qt, kt, vt = qkv(xt, "txt")
+
+    eps = cfg.norm_eps
+    qv = rms_norm(qv, eps, _pick(p_attn["norm_q"], "vid")["weight"])
+    kv = rms_norm(kv, eps, _pick(p_attn["norm_k"], "vid")["weight"])
+    qt = rms_norm(qt, eps, _pick(p_attn["norm_q"], "txt")["weight"])
+    kt = rms_norm(kt, eps, _pick(p_attn["norm_k"], "txt")["weight"])
+
+    if plan.txt_cos is not None:  # 3B mmrope: text is roped too
+        qt = rope_lib.apply_rope(qt, plan.txt_cos, plan.txt_sin)
+        kt = rope_lib.apply_rope(kt, plan.txt_cos, plan.txt_sin)
+
+    ltxt = plan.txt_len
+    vid_chunks = []
+    txt_acc = jnp.zeros_like(qt, dtype=jnp.float32)
+
+    for g in layer_plan.groups:
+        n, wlen = g.idx.shape
+        flat = g.idx.reshape(-1)
+
+        def gather(x):
+            return jnp.take(x, flat, axis=1).reshape(B, n, wlen, Hn, Dh)
+
+        qg = rope_lib.apply_rope(gather(qv), g.cos, g.sin)
+        kg = rope_lib.apply_rope(gather(kv), g.cos, g.sin)
+        vg = gather(vv)
+
+        def with_txt(win, txt):
+            t = jnp.broadcast_to(txt[:, None], (B, n, ltxt, Hn, Dh))
+            return jnp.concatenate([win, t], axis=2)
+
+        out = attention(
+            with_txt(qg, qt).reshape(B * n, wlen + ltxt, Hn, Dh),
+            with_txt(kg, kt).reshape(B * n, wlen + ltxt, Hn, Dh),
+            with_txt(vg, vt).reshape(B * n, wlen + ltxt, Hn, Dh),
+        ).reshape(B, n, wlen + ltxt, Hn, Dh)
+
+        vid_chunks.append(out[:, :, :wlen].reshape(B, n * wlen, Hn * Dh))
+        txt_acc = txt_acc + out[:, :, wlen:].astype(jnp.float32).sum(axis=1)
+
+    vid_cat = jnp.concatenate(vid_chunks, axis=1)
+    vid_out = jnp.take(vid_cat, layer_plan.inv, axis=1)
+    txt_out = (txt_acc / layer_plan.num_windows).astype(xv.dtype)
+    txt_out = txt_out.reshape(B, ltxt, Hn * Dh)
+
+    vid_out = linear(vid_out, _pick(p_attn["proj_out"], "vid"))
+    txt_out = linear(txt_out, _pick(p_attn["proj_out"], "txt"))
+    return vid_out, txt_out
+
+
+def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
+                   plan: DiTPlan):
+    """One NaMMSRTransformerBlock (mmsr_block.py:84-128)."""
+    vid_only = cfg.block_vid_only(i)
+    layer_plan = plan.layer_plans[cfg.window_method(i)]
+    eps = cfg.norm_eps
+
+    sa_v, ss_v, sg_v = (emb_attn[..., 0], emb_attn[..., 1], emb_attn[..., 2])
+    ma_v, ms_v, mg_v = (emb_mlp[..., 0], emb_mlp[..., 1], emb_mlp[..., 2])
+
+    ada_v = _pick(p_blk["ada"], "vid")
+    ada_t = _pick(p_blk["ada"], "txt") if not vid_only else None
+
+    # attention sublayer
+    hv = rms_norm(xv, eps)
+    ht = rms_norm(xt, eps)
+    hv = _ada_in(hv, sa_v, ss_v, ada_v, "attn")
+    # 3B last layer: ada is vid_only -> txt enters attention normed but
+    # unmodulated and leaves ungated (MMModule.vid_only skips the txt call).
+    ht = _ada_in(ht, sa_v, ss_v, ada_t, "attn") if ada_t is not None else ht
+    hv, ht = _window_attention(p_blk["attn"], cfg, hv, ht, plan, layer_plan)
+    hv = _ada_out(hv, sg_v, ada_v, "attn")
+    ht = _ada_out(ht, sg_v, ada_t, "attn") if ada_t is not None else ht
+    xv = xv + hv
+    xt = xt + ht
+
+    # mlp sublayer
+    hv = rms_norm(xv, eps)
+    hv = _ada_in(hv, ma_v, ms_v, ada_v, "mlp")
+    hv = mlp_forward(hv, _pick(p_blk["mlp"], "vid"), cfg.mlp_type)
+    hv = _ada_out(hv, mg_v, ada_v, "mlp")
+    xv = xv + hv
+    if not vid_only:
+        ht2 = rms_norm(xt, eps)
+        ht2 = _ada_in(ht2, ma_v, ms_v, ada_t, "mlp")
+        ht2 = mlp_forward(ht2, _pick(p_blk["mlp"], "txt"), cfg.mlp_type)
+        ht2 = _ada_out(ht2, mg_v, ada_t, "mlp")
+        xt = xt + ht2
+    return xv, xt
+
+
+def patchify(vid: jnp.ndarray, patch_size) -> jnp.ndarray:
+    """(B, T, H, W, C) -> (B, Tp*Hp*Wp, t*h*w*C), channel order (t h w c)."""
+    pt, ph, pw = patch_size
+    B, T, H, W, C = vid.shape
+    if pt > 1 and T % pt != 1:
+        raise ValueError("temporal patching expects T % pt == 1")
+    if pt > 1:
+        head = jnp.repeat(vid[:, :1], pt - 1, axis=1)
+        vid = jnp.concatenate([head, vid], axis=1)
+        T = vid.shape[1]
+    Tp, Hp, Wp = T // pt, H // ph, W // pw
+    x = vid.reshape(B, Tp, pt, Hp, ph, Wp, pw, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(B, Tp * Hp * Wp, pt * ph * pw * C)
+
+
+def unpatchify(x: jnp.ndarray, grid, patch_size, out_channels: int,
+               orig_t: int) -> jnp.ndarray:
+    """(B, L, t*h*w*C) -> (B, T, H, W, C)."""
+    pt, ph, pw = patch_size
+    Tp, Hp, Wp = grid
+    B = x.shape[0]
+    x = x.reshape(B, Tp, Hp, Wp, pt, ph, pw, out_channels)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    x = x.reshape(B, Tp * pt, Hp * ph, Wp * pw, out_channels)
+    if pt > 1:
+        x = x[:, Tp * pt - orig_t:]
+    return x
+
+
+def nadit_forward(params, cfg: DiTConfig, vid: jnp.ndarray, txt: jnp.ndarray,
+                  timestep: jnp.ndarray, plan: DiTPlan) -> jnp.ndarray:
+    """Denoiser forward.
+
+    Args:
+        params: parameter pytree from init_dit_params / checkpoint loader.
+        vid: (B, T, H, W, vid_in_channels) latent+condition, pre-patch dims.
+        txt: (B, txt_len, txt_in_dim) text embeddings.
+        timestep: (B,) diffusion timesteps.
+        plan: DiTPlan matching (T, H, W, txt_len).
+
+    Returns:
+        (B, T, H, W, vid_out_channels) prediction (v_lerp velocity).
+    """
+    B, T = vid.shape[0], vid.shape[1]
+    x = patchify(vid, cfg.patch_size)
+    x = linear(x, params["vid_in"]["proj"])
+
+    if "txt_in" in params:
+        xt = linear(txt, params["txt_in"])
+    else:
+        xt = txt
+
+    emb = _time_embedding(params["emb_in"], timestep, x.dtype)  # (B, 6D)
+    emb_r = emb.reshape(B, cfg.vid_dim, 2, 3).astype(jnp.float32)
+    emb_attn, emb_mlp = emb_r[..., 0, :], emb_r[..., 1, :]
+
+    for i, p_blk in enumerate(params["blocks"]):
+        x, xt = _block_forward(p_blk, cfg, i, x, xt, emb_attn, emb_mlp, plan)
+
+    if cfg.vid_out_norm:
+        x = rms_norm(x, cfg.norm_eps, params["vid_out_norm"]["weight"])
+        # Reference cache-collision: output modulation reuses the blocks'
+        # attn-layer emb slices (see module docstring).
+        shift_a, scale_a = emb_attn[..., 0], emb_attn[..., 1]
+        scale_b = params["vid_out_ada"]["out_scale"].astype(x.dtype)
+        shift_b = params["vid_out_ada"]["out_shift"].astype(x.dtype)
+        x = x * (scale_a[:, None, :].astype(x.dtype) + scale_b) + (
+            shift_a[:, None, :].astype(x.dtype) + shift_b)
+
+    x = linear(x, params["vid_out"]["proj"])
+    return unpatchify(x, plan.grid, cfg.patch_size, cfg.vid_out_channels, T)

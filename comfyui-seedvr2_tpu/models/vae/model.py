@@ -1,0 +1,269 @@
+"""Causal video VAE (s8_c16_t4), TPU-native.
+
+Functional JAX redesign of the reference VAE
+(src/models/video_vae_v3/modules/attn_video_vae.py Encoder3D:671/Decoder3D:859,
+causal_inflation_lib.py InflatedCausalConv3d:62). Key transformations:
+
+ - The mutable per-conv temporal memory (`self.memory`,
+   causal_inflation_lib.py:229-249) becomes an explicit state pytree threaded
+   through pure functions: every causal conv reads/writes `state[path]`, so
+   temporal slicing is (y, state) = f(params, x, state) — jit-compatible and
+   trivially checkpointable.
+ - Channels-last NDHWC layout with lax.conv_general_dilated (XLA picks the
+   fused TPU conv); no cuDNN-bug workarounds, no memory_limit recursive
+   splitting (XLA handles scheduling; spatial tiling bounds peak memory).
+ - GroupNorm is computed per-frame exactly like causal_norm_wrapper
+   (causal_inflation_lib.py:354-420) with fp32 statistics.
+
+Causal semantics (verified against the reference):
+ - temporal pad: first slice prepends the first frame `2*pad_t` times
+   (extend_head); later slices prepend the stored tail of the previous
+   *extended* input (k_t - s_t frames). Spatial padding is symmetric.
+ - decoder temporal upsample duplicates frame 0 (pixel-shuffle of the repeated
+   head) so `remove_head` drops frame index 1 on the first slice only.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.configs import VAEConfig
+from ...ops.layers import silu
+
+
+State = Optional[Dict[str, jnp.ndarray]]
+
+
+def _get(params: dict, path: str) -> dict:
+    node = params
+    for p in path.split("."):
+        node = node[p]
+    return node
+
+
+def causal_conv3d(params: dict, path: str, x: jnp.ndarray, state: State,
+                  stride: Tuple[int, int, int] = (1, 1, 1),
+                  t_pad: int = 0,
+                  s_pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0)),
+                  new_state: State = None) -> jnp.ndarray:
+    """Causal 3D convolution with functional temporal memory.
+
+    x: (B, T, H, W, Cin). `state` holds the previous slice's tail (or None for
+    the first / non-sliced call); `new_state` (if a dict) receives this
+    slice's tail for the next call.
+    """
+    p = _get(params, path)
+    w = p["w"]  # (kt, kh, kw, ci, co)
+    kt = w.shape[0]
+    st = stride[0]
+    cache = kt - st
+
+    if state is not None and path in state:
+        head = state[path].astype(x.dtype)
+        x_ext = jnp.concatenate([head, x], axis=1)
+    elif t_pad > 0:
+        head = jnp.repeat(x[:, :1], 2 * t_pad, axis=1)
+        x_ext = jnp.concatenate([head, x], axis=1)
+    else:
+        x_ext = x
+
+    if new_state is not None and cache > 0:
+        new_state[path] = x_ext[:, -cache:]
+
+    out = jax.lax.conv_general_dilated(
+        x_ext.astype(x.dtype),
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=[(0, 0), s_pad[0], s_pad[1]],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "b" in p:
+        out = out + p["b"].astype(x.dtype)
+    return out
+
+
+def frame_group_norm(params: dict, path: str, x: jnp.ndarray,
+                     num_groups: int = 32, eps: float = 1e-6) -> jnp.ndarray:
+    """GroupNorm with per-frame statistics (causal_norm_wrapper semantics)."""
+    p = _get(params, path)
+    b, t, h, w, c = x.shape
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(b, t, h * w, g, c // g)
+    mean = jnp.mean(x32, axis=(2, 4), keepdims=True)
+    var = jnp.var(x32, axis=(2, 4), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = out.reshape(b, t, h, w, c)
+    out = out * p["weight"].astype(jnp.float32) + p["b"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def resnet_block(params: dict, path: str, x: jnp.ndarray, state: State,
+                 new_state: State, in_ch: int, out_ch: int,
+                 num_groups: int = 32) -> jnp.ndarray:
+    """ResnetBlock3D with full (3,3,3) causal convs (time_receptive_field=full)."""
+    h = frame_group_norm(params, f"{path}.norm1", x, num_groups)
+    h = silu(h)
+    h = causal_conv3d(params, f"{path}.conv1", h, state, t_pad=1,
+                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    h = frame_group_norm(params, f"{path}.norm2", h, num_groups)
+    h = silu(h)
+    h = causal_conv3d(params, f"{path}.conv2", h, state, t_pad=1,
+                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    if in_ch != out_ch:
+        x = causal_conv3d(params, f"{path}.conv_shortcut", x, state,
+                          new_state=new_state)
+    return x + h
+
+
+def attn_block(params: dict, path: str, x: jnp.ndarray,
+               num_groups: int = 32) -> jnp.ndarray:
+    """Per-frame single-head spatial attention (UNetMidBlock3D attention,
+    attn_video_vae.py:656-668; diffusers deprecated attn block semantics:
+    group norm -> q,k,v linear -> softmax(QK^T / sqrt(C)) -> out linear ->
+    residual)."""
+    p = _get(params, path)
+    b, t, h, w, c = x.shape
+    hid = frame_group_norm(params, f"{path}.group_norm", x, num_groups)
+    hid = hid.reshape(b * t, h * w, c)
+
+    def lin(name, z):
+        q = p[name]
+        out = jnp.dot(z, q["w"].astype(z.dtype),
+                      preferred_element_type=jnp.float32).astype(z.dtype)
+        return out + q["b"].astype(z.dtype)
+
+    q, k, v = lin("to_q", hid), lin("to_k", hid), lin("to_v", hid)
+    scale = c ** -0.5
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # upcast_softmax
+    out = jnp.einsum("bqk,bkc->bqc", probs, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = jnp.dot(out, p["to_out"]["0"]["w"].astype(out.dtype),
+                  preferred_element_type=jnp.float32).astype(out.dtype)
+    out = out + p["to_out"]["0"]["b"].astype(out.dtype)
+    return out.reshape(b, t, h, w, c) + x
+
+
+def _mid_block(params, path, x, state, new_state, ch, num_groups):
+    x = resnet_block(params, f"{path}.resnets.0", x, state, new_state, ch, ch,
+                     num_groups)
+    x = attn_block(params, f"{path}.attentions.0", x, num_groups)
+    x = resnet_block(params, f"{path}.resnets.1", x, state, new_state, ch, ch,
+                     num_groups)
+    return x
+
+
+# --------------------------------------------------------------------------
+# Encoder / Decoder cores (single temporal slice)
+# --------------------------------------------------------------------------
+
+
+def encoder_core(params: dict, cfg: VAEConfig, x: jnp.ndarray,
+                 state: State) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """x: (B, T, H, W, 3) in [-1, 1] -> (B, Tl, H/8, W/8, 2*latent).
+
+    state=None means first slice (INITIALIZING); otherwise previous tails.
+    Returns (moments, new_state).
+    """
+    new_state: Dict[str, jnp.ndarray] = {}
+    g = cfg.norm_num_groups
+    chans = cfg.block_out_channels
+    n_blocks = len(chans)
+
+    x = causal_conv3d(params, "encoder.conv_in", x, state, t_pad=1,
+                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    in_ch = chans[0]
+    for i in range(n_blocks):
+        out_ch = chans[i]
+        base = f"encoder.down_blocks.{i}"
+        for j in range(cfg.layers_per_block):
+            x = resnet_block(params, f"{base}.resnets.{j}", x, state, new_state,
+                             in_ch if j == 0 else out_ch, out_ch, g)
+        in_ch = out_ch
+        is_final = i == n_blocks - 1
+        if not is_final:
+            temporal_down = i >= n_blocks - cfg.temporal_scale_num - 1
+            # Downsample3D: spatial stride 2 with asymmetric (0,1) pad
+            # (attn_video_vae.py:242-244), temporal stride 2 causal when
+            # enabled (kernel (3,3,3), t_pad=1).
+            x = causal_conv3d(
+                params, f"{base}.downsamplers.0.conv", x, state,
+                stride=(2 if temporal_down else 1, 2, 2),
+                t_pad=1 if temporal_down else 0,
+                s_pad=((0, 1), (0, 1)),
+                new_state=new_state,
+            )
+
+    x = _mid_block(params, "encoder.mid_block", x, state, new_state,
+                   chans[-1], g)
+    x = frame_group_norm(params, "encoder.conv_norm_out", x, g)
+    x = silu(x)
+    x = causal_conv3d(params, "encoder.conv_out", x, state, t_pad=1,
+                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    return x, new_state
+
+
+def _pixel_shuffle_3d(x: jnp.ndarray, sr: int, tr: int) -> jnp.ndarray:
+    """MAGViT upsample shuffle, channel group order (x y z c)
+    (attn_video_vae.py:137-143)."""
+    b, t, h, w, cc = x.shape
+    c = cc // (sr * sr * tr)
+    x = x.reshape(b, t, h, w, sr, sr, tr, c)
+    # out[b, t*tr+z, h*sr+xi, w*sr+yi, c] = in[..., xi, yi, z, c]
+    x = x.transpose(0, 1, 6, 2, 4, 3, 5, 7)
+    return x.reshape(b, t * tr, h * sr, w * sr, c)
+
+
+def _upsample3d(params, path, x, state, new_state, temporal_up: bool,
+                first_slice: bool):
+    p = _get(params, f"{path}.upscale_conv")
+    # 1x1x1 conv ch -> ch * ratio
+    y = jnp.einsum("bthwc,co->bthwo", x,
+                   p["w"][0, 0, 0].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    y = y + p["b"].astype(x.dtype)
+    tr = 2 if temporal_up else 1
+    y = _pixel_shuffle_3d(y, 2, tr)
+    if temporal_up and first_slice:
+        # remove_head: drop duplicated frame 1 (causal_inflation_lib.py:424-432)
+        y = jnp.concatenate([y[:, :1], y[:, 2:]], axis=1)
+    y = causal_conv3d(params, f"{path}.conv", y, state, t_pad=1,
+                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    return y
+
+
+def decoder_core(params: dict, cfg: VAEConfig, z: jnp.ndarray,
+                 state: State) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """z: (B, Tl, h, w, latent) -> (B, T, 8h, 8w, 3). state as encoder_core."""
+    new_state: Dict[str, jnp.ndarray] = {}
+    g = cfg.norm_num_groups
+    chans = list(reversed(cfg.block_out_channels))
+    n_blocks = len(chans)
+    first_slice = state is None
+
+    x = causal_conv3d(params, "decoder.conv_in", z, state, t_pad=1,
+                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    x = _mid_block(params, "decoder.mid_block", x, state, new_state,
+                   chans[0], g)
+
+    in_ch = chans[0]
+    for i in range(n_blocks):
+        out_ch = chans[i]
+        base = f"decoder.up_blocks.{i}"
+        for j in range(cfg.layers_per_block + 1):
+            x = resnet_block(params, f"{base}.resnets.{j}", x, state, new_state,
+                             in_ch if j == 0 else out_ch, out_ch, g)
+        in_ch = out_ch
+        if i < n_blocks - 1:
+            temporal_up = i < cfg.temporal_scale_num
+            x = _upsample3d(params, f"{base}.upsamplers.0", x, state, new_state,
+                            temporal_up, first_slice)
+
+    x = frame_group_norm(params, "decoder.conv_norm_out", x, g)
+    x = silu(x)
+    x = causal_conv3d(params, "decoder.conv_out", x, state, t_pad=1,
+                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    return x, new_state

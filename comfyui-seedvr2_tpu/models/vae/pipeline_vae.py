@@ -1,0 +1,317 @@
+"""VideoVAE: slicing + tiled encode/decode orchestration over the functional
+encoder/decoder cores.
+
+Reimplements the reference wrapper behavior
+(attn_video_vae.py slicing_encode:1246 / slicing_decode:1270 /
+tiled_encode:1294 / tiled_decode:1462, VideoAutoencoderKLWrapper:1652):
+
+ - temporal slicing: frame 0 + 4-frame groups (latent: 2 then 1), with the
+   causal-conv tail state threaded between slices (replacing the reference's
+   mutable conv memory);
+ - spatial tiling with cosine-ramp separable fade masks, accumulate/normalize;
+ - latent = posterior mode = first 16 channels of the encoder moments.
+
+Data layout is channels-last: video (B, T, H, W, 3) in [-1, 1], latent
+(B, Tl, h, w, 16). Per-shape jit caching is handled by jax.jit itself; the
+slice/tile loops run host-side (cheap control, heavy compute jitted).
+"""
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.configs import VAEConfig
+from .model import decoder_core, encoder_core
+
+
+def _cos_ramp(n: int) -> np.ndarray:
+    t = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    return 0.5 - 0.5 * np.cos(t * np.pi)
+
+
+def _fade_weights(length: int, overlap: int, at_start: bool, at_end: bool) -> np.ndarray:
+    """Separable fade profile (attn_video_vae.py:1419-1439)."""
+    wgt = np.ones((length,), dtype=np.float32)
+    ov = max(0, min(overlap, length - 1))
+    if ov > 0:
+        ramp = _cos_ramp(overlap)[:ov]
+        if at_start:
+            wgt[:ov] = ramp
+        if at_end:
+            wgt[-ov:] = 1.0 - ramp
+    return wgt
+
+
+class VideoVAE:
+    """Stateless-parameter VAE with reference-equivalent encode/decode."""
+
+    def __init__(self, params: dict, cfg: VAEConfig = VAEConfig(),
+                 dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.dtype = dtype
+
+        cfg_ = cfg
+
+        @functools.partial(jax.jit)
+        def enc_first(p, x):
+            return encoder_core(p, cfg_, x, None)
+
+        @functools.partial(jax.jit)
+        def enc_rest(p, x, s):
+            return encoder_core(p, cfg_, x, s)
+
+        @functools.partial(jax.jit)
+        def dec_first(p, z):
+            return decoder_core(p, cfg_, z, None)
+
+        @functools.partial(jax.jit)
+        def dec_rest(p, z, s):
+            return decoder_core(p, cfg_, z, s)
+
+        self._enc_first, self._enc_rest = enc_first, enc_rest
+        self._dec_first, self._dec_rest = dec_first, dec_rest
+
+    # -------------------------------------------------- temporal slicing --
+
+    def _sliced_encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        T = x.shape[1]
+        split = self.cfg.slicing_sample_min_size
+        if (T - 1) <= split:
+            moments, _ = self._enc_first(self.params, x)
+            return moments
+        outs = []
+        first = x[:, : split + 1]
+        moments, state = self._enc_first(self.params, first)
+        outs.append(moments)
+        pos = split + 1
+        while pos < T:
+            chunk = x[:, pos: pos + split]
+            moments, state = self._enc_rest(self.params, chunk, state)
+            outs.append(moments)
+            pos += split
+        return jnp.concatenate(outs, axis=1)
+
+    def _sliced_decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        Tl = z.shape[1]
+        split = self.cfg.slicing_latent_min_size
+        if (Tl - 1) <= split:
+            out, _ = self._dec_first(self.params, z)
+            return out
+        outs = []
+        first = z[:, : split + 1]
+        out, state = self._dec_first(self.params, first)
+        outs.append(out)
+        pos = split + 1
+        while pos < Tl:
+            chunk = z[:, pos: pos + split]
+            out, state = self._dec_rest(self.params, chunk, state)
+            outs.append(out)
+            pos += split
+        return jnp.concatenate(outs, axis=1)
+
+    # --------------------------------------------------- spatial tiling --
+
+    def encode(self, x: jnp.ndarray, tiled: bool = False,
+               tile_size: Tuple[int, int] = (512, 512),
+               tile_overlap: Tuple[int, int] = (64, 64)) -> jnp.ndarray:
+        """x: (B, T, H, W, 3) in [-1, 1], T % 4 == 1 -> latent mode
+        (B, (T-1)/4+1, H/8, W/8, latent_channels)."""
+        x = x.astype(self.dtype)
+        B, T, H, W, _ = x.shape
+        lat = self.cfg.latent_channels
+        if not tiled or (H <= tile_size[0] and W <= tile_size[1]):
+            return self._sliced_encode(x)[..., :lat]
+
+        sf = self.cfg.spatial_downsample_factor
+        lt_h = max(1, tile_size[0] // sf)
+        lt_w = max(1, tile_size[1] // sf)
+        lo_h = max(0, min(tile_overlap[0] // sf, lt_h - 1))
+        lo_w = max(0, min(tile_overlap[1] // sf, lt_w - 1))
+        stride_h = max(1, lt_h - lo_h)
+        stride_w = max(1, lt_w - lo_w)
+        H_lat = (H + sf - 1) // sf
+        W_lat = (W + sf - 1) // sf
+        Tl = (T - 1) // self.cfg.temporal_downsample_factor + 1
+
+        result = jnp.zeros((B, Tl, H_lat, W_lat, lat), dtype=jnp.float32)
+        count = jnp.zeros((1, 1, H_lat, W_lat, 1), dtype=jnp.float32)
+
+        for y in range(0, H_lat, stride_h):
+            y_end = min(y + lt_h, H_lat)
+            if y > 0 and (y_end - y) <= lo_h:
+                continue
+            for xx in range(0, W_lat, stride_w):
+                x_end = min(xx + lt_w, W_lat)
+                if xx > 0 and (x_end - xx) <= lo_w:
+                    continue
+                crop = x[:, :, y * sf: min(y_end * sf, H),
+                         xx * sf: min(x_end * sf, W)]
+                tile = self._sliced_encode(crop)[..., :lat].astype(jnp.float32)
+                eh = min(y_end - y, tile.shape[2], H_lat - y)
+                ew = min(x_end - xx, tile.shape[3], W_lat - xx)
+                tile = tile[:, :Tl, :eh, :ew]
+                wh = _fade_weights(eh, lo_h, y > 0, y_end < H_lat)
+                ww = _fade_weights(ew, lo_w, xx > 0, x_end < W_lat)
+                mask = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
+                result = result.at[:, :, y: y + eh, xx: xx + ew].add(tile * mask)
+                count = count.at[:, :, y: y + eh, xx: xx + ew].add(mask)
+        result = result / jnp.clip(count, 1e-6)
+        return result.astype(self.dtype)
+
+    def decode(self, z: jnp.ndarray, tiled: bool = False,
+               tile_size: Tuple[int, int] = (512, 512),
+               tile_overlap: Tuple[int, int] = (64, 64)) -> jnp.ndarray:
+        """z: (B, Tl, h, w, latent) -> (B, (Tl-1)*4+1, 8h, 8w, 3)."""
+        z = z.astype(self.dtype)
+        B, Tl, h, w, _ = z.shape
+        sf = self.cfg.spatial_downsample_factor
+        lt_h = max(1, tile_size[0] // sf)
+        lt_w = max(1, tile_size[1] // sf)
+        if not tiled or (h <= lt_h and w <= lt_w):
+            return self._sliced_decode(z)
+
+        lo_h = max(0, min(tile_overlap[0] // sf, lt_h - 1))
+        lo_w = max(0, min(tile_overlap[1] // sf, lt_w - 1))
+        stride_h = max(1, lt_h - lo_h)
+        stride_w = max(1, lt_w - lo_w)
+        T = (Tl - 1) * self.cfg.temporal_downsample_factor + 1
+        H, W = h * sf, w * sf
+
+        result = jnp.zeros((B, T, H, W, 3), dtype=jnp.float32)
+        count = jnp.zeros((1, 1, H, W, 1), dtype=jnp.float32)
+
+        for y in range(0, h, stride_h):
+            y_end = min(y + lt_h, h)
+            if y > 0 and (y_end - y) <= lo_h:
+                continue
+            for xx in range(0, w, stride_w):
+                x_end = min(xx + lt_w, w)
+                if xx > 0 and (x_end - xx) <= lo_w:
+                    continue
+                tile = self._sliced_decode(
+                    z[:, :, y:y_end, xx:x_end]).astype(jnp.float32)
+                yo, yo_end = y * sf, y_end * sf
+                xo, xo_end = xx * sf, x_end * sf
+                # decode fades are computed in output space with the *pixel*
+                # overlap (attn_video_vae.py:1508-1515)
+                wh = _fade_weights(yo_end - yo, tile_overlap[0], y > 0, y_end < h)
+                ww = _fade_weights(xo_end - xo, tile_overlap[1], xx > 0, x_end < w)
+                mask = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
+                result = result.at[:, :tile.shape[1], yo:yo_end, xo:xo_end].add(
+                    tile * mask)
+                count = count.at[:, :, yo:yo_end, xo:xo_end].add(mask)
+        result = result / jnp.clip(count, 1e-6)
+        return result.astype(self.dtype)
+
+
+# --------------------------------------------------------------------------
+# Random init (tests / benchmarks without checkpoints)
+# --------------------------------------------------------------------------
+
+
+def init_vae_params(key, cfg: VAEConfig = VAEConfig(),
+                    dtype=jnp.bfloat16) -> dict:
+    """Random parameter tree with checkpoint-identical structure."""
+    counter = [0]
+    base_key = key
+
+    def nk():
+        counter[0] += 1
+        return jax.random.fold_in(base_key, counter[0])
+
+    def conv(ci, co, k=(3, 3, 3)):
+        fan_in = ci * k[0] * k[1] * k[2]
+        bound = 1.0 / math.sqrt(fan_in)
+        return {
+            "w": jax.random.uniform(nk(), (*k, ci, co), jnp.float32,
+                                    -bound, bound).astype(dtype),
+            "b": jax.random.uniform(nk(), (co,), jnp.float32,
+                                    -bound, bound).astype(dtype),
+        }
+
+    def lin(ci, co):
+        bound = 1.0 / math.sqrt(ci)
+        return {
+            "w": jax.random.uniform(nk(), (ci, co), jnp.float32,
+                                    -bound, bound).astype(dtype),
+            "b": jax.random.uniform(nk(), (co,), jnp.float32,
+                                    -bound, bound).astype(dtype),
+        }
+
+    def norm(c):
+        return {"weight": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+    def resnet(ci, co):
+        p = {"norm1": norm(ci), "conv1": conv(ci, co),
+             "norm2": norm(co), "conv2": conv(co, co)}
+        if ci != co:
+            p["conv_shortcut"] = conv(ci, co, (1, 1, 1))
+        return p
+
+    def attn(c):
+        return {"group_norm": norm(c), "to_q": lin(c, c), "to_k": lin(c, c),
+                "to_v": lin(c, c), "to_out": {"0": lin(c, c)}}
+
+    chans = cfg.block_out_channels
+    n = len(chans)
+    enc = {"conv_in": conv(cfg.in_channels, chans[0])}
+    in_ch = chans[0]
+    for i in range(n):
+        out_ch = chans[i]
+        blk = {"resnets": {}}
+        for j in range(cfg.layers_per_block):
+            blk["resnets"][str(j)] = resnet(in_ch if j == 0 else out_ch, out_ch)
+        in_ch = out_ch
+        if i < n - 1:
+            td = i >= n - cfg.temporal_scale_num - 1
+            kt = 3 if td else 1
+            blk["downsamplers"] = {"0": {"conv": conv(out_ch, out_ch, (kt, 3, 3))}}
+        enc[f"down_blocks.{i}"] = blk
+    enc["mid_block"] = {
+        "resnets": {"0": resnet(chans[-1], chans[-1]),
+                    "1": resnet(chans[-1], chans[-1])},
+        "attentions": {"0": attn(chans[-1])},
+    }
+    enc["conv_norm_out"] = norm(chans[-1])
+    enc["conv_out"] = conv(chans[-1], 2 * cfg.latent_channels)
+
+    rev = list(reversed(chans))
+    dec = {"conv_in": conv(cfg.latent_channels, rev[0])}
+    dec["mid_block"] = {
+        "resnets": {"0": resnet(rev[0], rev[0]), "1": resnet(rev[0], rev[0])},
+        "attentions": {"0": attn(rev[0])},
+    }
+    in_ch = rev[0]
+    for i in range(n):
+        out_ch = rev[i]
+        blk = {"resnets": {}}
+        for j in range(cfg.layers_per_block + 1):
+            blk["resnets"][str(j)] = resnet(in_ch if j == 0 else out_ch, out_ch)
+        in_ch = out_ch
+        if i < n - 1:
+            tu = i < cfg.temporal_scale_num
+            ratio = 4 * (2 if tu else 1)
+            blk["upsamplers"] = {"0": {
+                "upscale_conv": conv(out_ch, out_ch * ratio, (1, 1, 1)),
+                "conv": conv(out_ch, out_ch),
+            }}
+        dec[f"up_blocks.{i}"] = blk
+    dec["conv_norm_out"] = norm(chans[0])
+    dec["conv_out"] = conv(chans[0], cfg.out_channels)
+
+    def nest(flat):
+        out = {}
+        for k, v in flat.items():
+            parts = k.split(".")
+            node = out
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = v
+        return out
+
+    return {"encoder": nest(enc), "decoder": nest(dec)}

@@ -1,0 +1,51 @@
+"""Attention primitives.
+
+Replaces the reference's flash_attn_varlen / per-sequence SDPA loop
+(src/models/dit_3b/attention.py:24-156). Because the window planner groups
+windows into uniform static shapes, attention here is plain dense batched
+attention over [batch*windows, seq, heads, head_dim] — no varlen machinery.
+
+Two implementations:
+ - `attention_xla`: einsum + fp32 softmax, lets XLA fuse. Reliable baseline.
+ - `flash_attention`: Pallas TPU kernel (ops/flash_attention.py) with online
+   softmax, used when seq/head dims are MXU-aligned and on TPU backend.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  scale=None) -> jnp.ndarray:
+    """Dense attention. q: (..., Sq, H, D); k, v: (..., Sk, H, D)."""
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum(
+        "...hqk,...khd->...qhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+@functools.cache
+def _flash_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def attention(q, k, v, scale=None, use_flash: bool = True):
+    """Dispatch to the Pallas flash kernel when profitable, else XLA."""
+    if use_flash and _flash_available():
+        from .flash_attention import flash_attention, flash_supported
+
+        if flash_supported(q, k, v):
+            return flash_attention(q, k, v, scale=scale)
+    return attention_xla(q, k, v, scale=scale)

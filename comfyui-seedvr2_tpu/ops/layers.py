@@ -1,0 +1,90 @@
+"""Elementwise / normalization / linear building blocks (pure jnp).
+
+Matches the reference numerics:
+ - rms_norm: fp32 statistics like CustomRMSNorm
+   (src/models/dit_3b/normalization.py:71-110): x / sqrt(mean(x^2) + eps).
+ - layer_norm: F.layer_norm semantics (fp32 stats).
+ - gelu_tanh / silu / swiglu as in src/models/dit_3b/mlp.py.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jnp.ndarray, eps: float = 1e-5,
+             weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    out = x32 * jax.lax.rsqrt(var + eps)
+    out = out.astype(x.dtype)
+    if weight is not None:
+        out = out * weight.astype(x.dtype)
+    return out
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-5,
+               weight: Optional[jnp.ndarray] = None,
+               bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = out.astype(x.dtype)
+    if weight is not None:
+        out = out * weight.astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
+def group_norm(x: jnp.ndarray, num_groups: int, eps: float = 1e-6,
+               weight: Optional[jnp.ndarray] = None,
+               bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """GroupNorm over channels-last input (..., C), stats per group over all
+    non-batch axes. Caller is responsible for which axes are 'spatial': here
+    x is (B, *spatial, C) and stats reduce over *spatial and within-group C."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(b, -1, g, c // g)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    var = jnp.var(x32, axis=(1, 3), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = out.reshape(b, *spatial, c).astype(x.dtype)
+    if weight is not None:
+        out = out * weight.astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
+def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """x @ w + b with fp32 accumulation on the MXU. p: {"w": (in, out), "b"?}."""
+    out = jnp.dot(x, p["w"].astype(x.dtype),
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p and p["b"] is not None:
+        out = out + p["b"].astype(x.dtype)
+    return out
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+def mlp_forward(x: jnp.ndarray, p: dict, mlp_type: str) -> jnp.ndarray:
+    if mlp_type == "swiglu":
+        return linear(silu(linear(x, p["proj_in_gate"])) * linear(x, p["proj_in"]),
+                      p["proj_out"])
+    return linear(gelu_tanh(linear(x, p["proj_in"])), p["proj_out"])
+
+
+def swiglu_hidden_dim(dim: int, expand_ratio: int, multiple_of: int = 256) -> int:
+    hidden = int(2 * dim * expand_ratio / 3)
+    return multiple_of * ((hidden + multiple_of - 1) // multiple_of)

@@ -1,0 +1,124 @@
+"""Golden-parity tests: JAX causal video VAE vs the PyTorch reference oracle.
+
+Covers: causal conv head-extension, temporal down/upsampling (+remove_head),
+per-frame group norm, mid-block spatial attention, temporal slicing with
+functional state threading (vs the reference's mutable conv memory), and the
+posterior-mode latent.
+"""
+
+import importlib
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from seedvr2_tpu.core.configs import VAEConfig
+from seedvr2_tpu.core.loader import torch_module_to_params
+from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE
+
+from .oracle_ref import load_reference_src
+
+CH = (8, 8, 16, 16)
+GROUPS = 4
+LATENT = 4
+
+
+@pytest.fixture(scope="module")
+def pair():
+    load_reference_src()
+    vae_mod = importlib.import_module(
+        "refsrc.models.video_vae_v3.modules.attn_video_vae")
+    torch.manual_seed(3)
+    ref = vae_mod.VideoAutoencoderKLWrapper(
+        in_channels=3, out_channels=3,
+        down_block_types=("DownEncoderBlock3D",) * 4,
+        up_block_types=("UpDecoderBlock3D",) * 4,
+        block_out_channels=CH, layers_per_block=1,
+        latent_channels=LATENT, norm_num_groups=GROUPS,
+        temporal_scale_num=2, slicing_sample_min_size=4,
+        use_quant_conv=False, use_post_quant_conv=False,
+        spatial_downsample_factor=8, temporal_downsample_factor=4,
+        freeze_encoder=False, inflation_mode="tail",
+        time_receptive_field="full",
+    ).float().eval()
+
+    cfg = VAEConfig(block_out_channels=CH, layers_per_block=1,
+                    latent_channels=LATENT, norm_num_groups=GROUPS)
+    params = torch_module_to_params(ref, dtype=jnp.float32)
+    vae = VideoVAE(params, cfg, dtype=jnp.float32)
+    return ref, vae
+
+
+def _encode_ref(ref, x_tchw):
+    with torch.no_grad():
+        return ref.encode(torch.from_numpy(x_tchw)).latent.numpy()
+
+
+def test_encode_parity_single_slice(pair):
+    ref, vae = pair
+    rng = np.random.default_rng(0)
+    T, H, W = 5, 32, 24
+    x = rng.uniform(-1, 1, (1, 3, T, H, W)).astype(np.float32)
+
+    lat_ref = _encode_ref(ref, x)  # (B, C, Tl, h, w)
+    lat_jax = np.asarray(vae.encode(jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
+    lat_jax = lat_jax.transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(lat_jax, lat_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_decode_parity_single_slice(pair):
+    ref, vae = pair
+    rng = np.random.default_rng(1)
+    Tl, h, w = 2, 4, 3
+    z = rng.standard_normal((1, LATENT, Tl, h, w)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref.decode(torch.from_numpy(z)).sample.numpy()
+    out_jax = np.asarray(vae.decode(jnp.asarray(z.transpose(0, 2, 3, 4, 1))))
+    out_jax = out_jax.transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out_jax, out_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_encode_parity_sliced(pair):
+    """T=9 forces the slicing path on both sides (split 5 + 4)."""
+    ref, vae = pair
+    ref.set_causal_slicing(split_size=4, memory_device="same")
+    rng = np.random.default_rng(2)
+    T, H, W = 9, 24, 16
+    x = rng.uniform(-1, 1, (1, 3, T, H, W)).astype(np.float32)
+
+    lat_ref = _encode_ref(ref, x)
+    lat_jax = np.asarray(vae.encode(jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
+    lat_jax = lat_jax.transpose(0, 4, 1, 2, 3)
+    assert lat_jax.shape == lat_ref.shape
+    np.testing.assert_allclose(lat_jax, lat_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_decode_parity_sliced(pair):
+    ref, vae = pair
+    ref.set_causal_slicing(split_size=4, memory_device="same")
+    rng = np.random.default_rng(3)
+    z = rng.standard_normal((1, LATENT, 3, 4, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref.decode(torch.from_numpy(z)).sample.numpy()
+    out_jax = np.asarray(vae.decode(jnp.asarray(z.transpose(0, 2, 3, 4, 1))))
+    out_jax = out_jax.transpose(0, 4, 1, 2, 3)
+    assert out_jax.shape == out_ref.shape
+    np.testing.assert_allclose(out_jax, out_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_tiled_encode_close_to_untiled(pair):
+    """Tiled encode must agree with untiled away from tile seams (the
+    reference accepts small seam differences; we check overall closeness)."""
+    _, vae = pair
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 1, 48, 48, 3)).astype(np.float32))
+    full = np.asarray(vae.encode(x))
+    tiled = np.asarray(vae.encode(x, tiled=True, tile_size=(32, 32),
+                                  tile_overlap=(16, 16)))
+    assert tiled.shape == full.shape
+    diff = np.abs(tiled - full).mean()
+    assert diff < 0.15, f"tiled encode diverged: mean|diff|={diff}"
