@@ -1,0 +1,122 @@
+"""Observability: categorized logging, hierarchical timers, memory stats.
+
+Re-creation of the reference Debug surface (src/utils/debug.py) adapted to
+TPU: wall-clock phase timers with parent/child breakdowns, HBM usage via
+jax.local_devices()[0].memory_stats(), host RAM via psutil, optional
+jax.profiler trace capture around phases, and an FPS summary. Emoji noise is
+dropped; categories are kept for log filtering.
+"""
+
+import contextlib
+import os
+import time
+from typing import Dict, List, Optional
+
+try:
+    import psutil
+except ImportError:  # pragma: no cover
+    psutil = None
+
+
+class Debug:
+    def __init__(self, enabled: bool = False, profile_dir: Optional[str] = None):
+        self.enabled = enabled
+        self.profile_dir = profile_dir
+        self._timers: Dict[str, float] = {}
+        self._elapsed: Dict[str, float] = {}
+        self._stack: List[str] = []
+        self._children: Dict[str, List[str]] = {}
+
+    # ------------------------------------------------------------- logging
+
+    def log(self, message: str, category: str = "info", level: str = "INFO",
+            force: bool = False, indent_level: int = 0):
+        if not (self.enabled or force):
+            return
+        indent = "  " * indent_level
+        ts = time.strftime("%H:%M:%S")
+        print(f"[{ts}] [{category}] {indent}{message}", flush=True)
+
+    # -------------------------------------------------------------- timers
+
+    def start_timer(self, name: str):
+        self._timers[name] = time.perf_counter()
+        if self._stack:
+            self._children.setdefault(self._stack[-1], []).append(name)
+        self._stack.append(name)
+
+    def end_timer(self, name: str, message: str = "",
+                  show_breakdown: bool = False) -> float:
+        start = self._timers.pop(name, None)
+        if name in self._stack:
+            self._stack = self._stack[: self._stack.index(name)]
+        if start is None:
+            return 0.0
+        elapsed = time.perf_counter() - start
+        self._elapsed[name] = elapsed
+        if message:
+            self.log(f"{message}: {elapsed:.2f}s", category="timer")
+        if show_breakdown:
+            for child in self._children.get(name, []):
+                if child in self._elapsed:
+                    self.log(f"  {child}: {self._elapsed[child]:.2f}s",
+                             category="timer", indent_level=1)
+        return elapsed
+
+    def elapsed(self, name: str) -> float:
+        return self._elapsed.get(name, 0.0)
+
+    @contextlib.contextmanager
+    def timer(self, name: str, message: str = ""):
+        self.start_timer(name)
+        try:
+            yield
+        finally:
+            self.end_timer(name, message or name)
+
+    @contextlib.contextmanager
+    def profile(self, name: str):
+        """jax.profiler trace around a phase (replaces the reference's
+        homegrown VRAM checkpoints for kernel-level analysis)."""
+        if self.profile_dir:
+            import jax
+
+            with jax.profiler.trace(os.path.join(self.profile_dir, name)):
+                yield
+        else:
+            yield
+
+    # -------------------------------------------------------------- memory
+
+    def memory_state(self) -> Dict[str, float]:
+        stats: Dict[str, float] = {}
+        try:
+            import jax
+
+            dev = jax.local_devices()[0]
+            m = dev.memory_stats() or {}
+            stats["hbm_used_gb"] = m.get("bytes_in_use", 0) / 1024**3
+            stats["hbm_limit_gb"] = m.get("bytes_limit", 0) / 1024**3
+            stats["hbm_peak_gb"] = m.get("peak_bytes_in_use", 0) / 1024**3
+        except Exception:
+            pass
+        if psutil is not None:
+            vm = psutil.virtual_memory()
+            stats["ram_used_gb"] = (vm.total - vm.available) / 1024**3
+            stats["ram_total_gb"] = vm.total / 1024**3
+        return stats
+
+    def log_memory_state(self, label: str, **_kwargs):
+        if not self.enabled:
+            return
+        s = self.memory_state()
+        parts = []
+        if "hbm_used_gb" in s:
+            parts.append(f"HBM {s['hbm_used_gb']:.2f}/{s.get('hbm_limit_gb', 0):.2f}GB"
+                         f" (peak {s.get('hbm_peak_gb', 0):.2f}GB)")
+        if "ram_used_gb" in s:
+            parts.append(f"RAM {s['ram_used_gb']:.1f}/{s['ram_total_gb']:.1f}GB")
+        self.log(f"{label}: {', '.join(parts)}", category="memory")
+
+
+NULL_DEBUG = Debug(enabled=False)
