@@ -1,0 +1,341 @@
+"""GGUF quantized checkpoint support: container parser + block dequantizers.
+
+Replaces the reference's GGUF path (src/core/model_loader.py:156-400 reader,
+src/optimization/gguf_dequant.py per-block torch dequant,
+src/optimization/gguf_ops.py dequant-on-forward wrappers) with a TPU-shaped
+design: weights are dequantized once at load into bf16 HBM arrays (vectorized
+numpy, no per-block Python loops), or kept as int arrays + scales for the
+fused dequant-matmul path (ops/quant_matmul.py).
+
+Implemented from the public GGML/GGUF block-format spec; verified against the
+reference dequantizers in tests/test_gguf.py.
+"""
+
+import struct
+from typing import Dict, Tuple
+
+import numpy as np
+
+GGUF_MAGIC = b"GGUF"
+
+# ggml type ids
+F32, F16 = 0, 1
+Q4_0, Q4_1, Q5_0, Q5_1, Q8_0, Q8_1 = 2, 3, 6, 7, 8, 9
+Q2_K, Q3_K, Q4_K, Q5_K, Q6_K, Q8_K = 10, 11, 12, 13, 14, 15
+BF16 = 30
+
+QK = 32      # small-block size
+QK_K = 256   # k-quant super-block size
+
+TYPE_NAMES = {F32: "F32", F16: "F16", Q4_0: "Q4_0", Q4_1: "Q4_1",
+              Q5_0: "Q5_0", Q5_1: "Q5_1", Q8_0: "Q8_0", Q2_K: "Q2_K",
+              Q3_K: "Q3_K", Q4_K: "Q4_K", Q5_K: "Q5_K", Q6_K: "Q6_K",
+              BF16: "BF16"}
+
+BLOCK_SIZES = {  # (bytes per block, elements per block)
+    F32: (4, 1), F16: (2, 1), BF16: (2, 1),
+    Q4_0: (2 + 16, QK), Q4_1: (4 + 16, QK),
+    Q5_0: (2 + 4 + 16, QK), Q5_1: (4 + 4 + 16, QK),
+    Q8_0: (2 + 32, QK),
+    Q2_K: (16 + 64 + 2 + 2, QK_K),
+    Q3_K: (32 + 64 + 12 + 2, QK_K),
+    Q4_K: (2 + 2 + 12 + 128, QK_K),
+    Q5_K: (2 + 2 + 12 + 32 + 128, QK_K),
+    Q6_K: (128 + 64 + 16 + 2, QK_K),
+}
+
+
+# ------------------------------------------------------------- dequantizers
+# All take raw block bytes (n_blocks, block_bytes) uint8 -> (n_blocks, elems)
+# float32.
+
+
+def _f16(x: np.ndarray) -> np.ndarray:
+    return x.view(np.float16).astype(np.float32)
+
+
+def _deq_q8_0(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, :2].copy())
+    q = blocks[:, 2:].view(np.int8).astype(np.float32)
+    return d * q
+
+
+def _deq_q4_0(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, :2].copy())
+    qs = blocks[:, 2:]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return d * q
+
+
+def _deq_q4_1(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, :2].copy())
+    m = _f16(blocks[:, 2:4].copy())
+    qs = blocks[:, 4:]
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    q = np.concatenate([lo, hi], axis=1)
+    return d * q + m
+
+
+def _unpack_qh(qh_bytes: np.ndarray) -> np.ndarray:
+    """(n, 4) uint8 -> (n, 32) bits."""
+    qh = qh_bytes.view(np.uint32).reshape(-1, 1)
+    shifts = np.arange(32, dtype=np.uint32)
+    return ((qh >> shifts) & 1).astype(np.uint8)
+
+
+def _deq_q5_0(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, :2].copy())
+    bits = _unpack_qh(blocks[:, 2:6].copy())
+    qs = blocks[:, 6:]
+    lo = (qs & 0x0F).astype(np.int16)
+    hi = (qs >> 4).astype(np.int16)
+    q = np.concatenate([lo | (bits[:, :16] << 4),
+                        hi | (bits[:, 16:] << 4)], axis=1)
+    return d * (q.astype(np.float32) - 16.0)
+
+
+def _deq_q5_1(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, :2].copy())
+    m = _f16(blocks[:, 2:4].copy())
+    bits = _unpack_qh(blocks[:, 4:8].copy())
+    qs = blocks[:, 8:]
+    lo = (qs & 0x0F).astype(np.int16)
+    hi = (qs >> 4).astype(np.int16)
+    q = np.concatenate([lo | (bits[:, :16] << 4),
+                        hi | (bits[:, 16:] << 4)], axis=1)
+    return d * q.astype(np.float32) + m
+
+
+def _unpack_k_scales(scales: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Q4_K/Q5_K 12-byte packed 6-bit scales/mins -> (n, 8), (n, 8)."""
+    sc = np.empty((scales.shape[0], 8), np.float32)
+    mn = np.empty((scales.shape[0], 8), np.float32)
+    s = scales.astype(np.uint16)
+    for j in range(8):
+        if j < 4:
+            sc[:, j] = (s[:, j] & 63).astype(np.float32)
+            mn[:, j] = (s[:, j + 4] & 63).astype(np.float32)
+        else:
+            sc[:, j] = ((s[:, j + 4] & 0x0F) | ((s[:, j - 4] >> 6) << 4)
+                        ).astype(np.float32)
+            mn[:, j] = ((s[:, j + 4] >> 4) | ((s[:, j] >> 6) << 4)
+                        ).astype(np.float32)
+    return sc, mn
+
+
+def _deq_q4_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy())
+    dmin = _f16(blocks[:, 2:4].copy())
+    sc, mn = _unpack_k_scales(blocks[:, 4:16])
+    qs = blocks[:, 16:]  # (n, 128)
+    # layout: 4 chunks of 32 bytes; each gives 64 values (lo 32, hi 32)
+    qs = qs.reshape(n, 4, 32)
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    vals = np.empty((n, 8, 32), np.float32)
+    vals[:, 0::2] = lo
+    vals[:, 1::2] = hi
+    scale = d * sc  # (n, 8)
+    minv = dmin * mn
+    return (vals * scale[:, :, None] - minv[:, :, None]).reshape(n, QK_K)
+
+
+def _deq_q5_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy())
+    dmin = _f16(blocks[:, 2:4].copy())
+    sc, mn = _unpack_k_scales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]   # (n, 32): bit j of byte -> group j
+    qs = blocks[:, 48:176].reshape(n, 4, 32)
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    vals = np.empty((n, 8, 32), np.float32)
+    vals[:, 0::2] = lo
+    vals[:, 1::2] = hi
+    bits = np.stack([(qh >> j) & 1 for j in range(8)], axis=1)  # (n, 8, 32)
+    vals += bits.astype(np.float32) * 16.0
+    scale = d * sc
+    minv = dmin * mn
+    return (vals * scale[:, :, None] - minv[:, :, None]).reshape(n, QK_K)
+
+
+def _deq_q6_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    ql = blocks[:, :128]
+    qh = blocks[:, 128:192]
+    scales = blocks[:, 192:208].view(np.int8).astype(np.float32)  # (n, 16)
+    d = _f16(blocks[:, 208:210].copy())
+    # two 128-element halves; in each: ql 64 bytes, qh 32 bytes
+    ql = ql.reshape(n, 2, 64)
+    qh = qh.reshape(n, 2, 32)
+    out = np.empty((n, 2, 128), np.float32)
+    for half in range(2):
+        l, h = ql[:, half], qh[:, half]
+        q1 = (l[:, :32] & 0x0F) | (((h >> 0) & 3) << 4)
+        q2 = (l[:, 32:] & 0x0F) | (((h >> 2) & 3) << 4)
+        q3 = (l[:, :32] >> 4) | (((h >> 4) & 3) << 4)
+        q4 = (l[:, 32:] >> 4) | (((h >> 6) & 3) << 4)
+        out[:, half] = np.concatenate([q1, q2, q3, q4],
+                                      axis=1).astype(np.float32) - 32.0
+    vals = out.reshape(n, QK_K)
+    # 16 scale groups of 16 elements
+    scale = np.repeat(scales, 16, axis=1)
+    return d * scale * vals
+
+
+def _deq_q2_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    scales = blocks[:, :16]
+    qs = blocks[:, 16:80]
+    d = _f16(blocks[:, 80:82].copy())
+    dmin = _f16(blocks[:, 82:84].copy())
+    sc = (scales & 0x0F).astype(np.float32)   # (n, 16)
+    mn = (scales >> 4).astype(np.float32)
+    # 2-bit values: qs (n, 64); each 32-byte chunk holds 128 values
+    qs = qs.reshape(n, 2, 32)
+    vals = np.empty((n, 16, 16), np.float32)
+    idx = 0
+    for half in range(2):
+        for shift in range(4):
+            v = ((qs[:, half] >> (2 * shift)) & 3).astype(np.float32)  # (n,32)
+            vals[:, idx] = v[:, :16]
+            vals[:, idx + 1] = v[:, 16:]
+            idx += 2
+    dd = d * sc    # (n, 16)
+    mm = dmin * mn
+    return (vals * dd[:, :, None] - mm[:, :, None]).reshape(n, QK_K)
+
+
+def _deq_q3_k(blocks: np.ndarray) -> np.ndarray:
+    n = blocks.shape[0]
+    hmask = blocks[:, :32]
+    qs = blocks[:, 32:96]
+    scales_raw = blocks[:, 96:108]
+    d = _f16(blocks[:, 108:110].copy())
+    # unpack 16 6-bit scales from 12 bytes (llama.cpp layout)
+    a = scales_raw[:, :8].astype(np.int16)
+    b = scales_raw[:, 8:].astype(np.int16)
+    sc = np.empty((n, 16), np.float32)
+    for j in range(8):
+        sc[:, j] = ((a[:, j] & 0x0F) | (((b[:, j % 4] >> (2 * (j // 4))) & 3) << 4)
+                    ).astype(np.float32) - 32
+    for j in range(8):
+        sc[:, j + 8] = ((a[:, j] >> 4) | (((b[:, j % 4] >> (2 * (j // 4 + 2))) & 3) << 4)
+                        ).astype(np.float32) - 32
+    qs = qs.reshape(n, 2, 32)
+    vals = np.empty((n, 16, 16), np.float32)
+    idx = 0
+    for half in range(2):
+        for shift in range(4):
+            v = ((qs[:, half] >> (2 * shift)) & 3).astype(np.int16)
+            vals[:, idx] = v[:, :16]
+            vals[:, idx + 1] = v[:, 16:]
+            idx += 2
+    # high bit: hmask bit j for value group j (128 values per bit plane)
+    bits = np.stack([(hmask >> j) & 1 for j in range(8)], axis=1)  # (n,8,32)
+    bits = bits.reshape(n, 16, 16)
+    vals = vals - 4.0 * (1 - bits)
+    return d * np.repeat(sc, 16, axis=1) * vals.reshape(n, QK_K)
+
+
+_DEQUANT = {
+    Q8_0: _deq_q8_0, Q4_0: _deq_q4_0, Q4_1: _deq_q4_1,
+    Q5_0: _deq_q5_0, Q5_1: _deq_q5_1,
+    Q4_K: _deq_q4_k, Q5_K: _deq_q5_k, Q6_K: _deq_q6_k,
+    Q2_K: _deq_q2_k, Q3_K: _deq_q3_k,
+}
+
+
+def dequantize(data: np.ndarray, ggml_type: int, n_elements: int) -> np.ndarray:
+    """Raw tensor bytes -> float32 flat array of n_elements."""
+    if ggml_type == F32:
+        return data.view(np.float32)[:n_elements].copy()
+    if ggml_type == F16:
+        return data.view(np.float16)[:n_elements].astype(np.float32)
+    if ggml_type == BF16:
+        u = data.view(np.uint16)[:n_elements].astype(np.uint32) << 16
+        return u.view(np.float32).copy()
+    block_bytes, block_elems = BLOCK_SIZES[ggml_type]
+    n_blocks = n_elements // block_elems
+    blocks = data[: n_blocks * block_bytes].reshape(n_blocks, block_bytes)
+    return _DEQUANT[ggml_type](blocks).reshape(-1)[:n_elements]
+
+
+# ------------------------------------------------------------------ parser
+
+_KV_READERS = {}
+
+
+def _read_str(f) -> str:
+    (n,) = struct.unpack("<Q", f.read(8))
+    return f.read(n).decode("utf-8", errors="replace")
+
+
+def _read_value(f, vtype: int):
+    simple = {0: "<B", 1: "<b", 2: "<H", 3: "<h", 4: "<I", 5: "<i",
+              6: "<f", 7: "<?", 10: "<Q", 11: "<q", 12: "<d"}
+    if vtype in simple:
+        fmt = simple[vtype]
+        return struct.unpack(fmt, f.read(struct.calcsize(fmt)))[0]
+    if vtype == 8:
+        return _read_str(f)
+    if vtype == 9:  # array
+        (elem_type,) = struct.unpack("<I", f.read(4))
+        (count,) = struct.unpack("<Q", f.read(8))
+        return [_read_value(f, elem_type) for _ in range(count)]
+    raise ValueError(f"unknown gguf kv type {vtype}")
+
+
+def read_gguf(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, int], dict]:
+    """Parse a GGUF file.
+
+    Returns (tensors: name -> float32 ndarray in torch layout,
+             qtypes: name -> ggml type id, metadata kv dict)."""
+    tensors: Dict[str, np.ndarray] = {}
+    qtypes: Dict[str, int] = {}
+    with open(path, "rb") as f:
+        if f.read(4) != GGUF_MAGIC:
+            raise ValueError(f"not a GGUF file: {path}")
+        (version,) = struct.unpack("<I", f.read(4))
+        (n_tensors,) = struct.unpack("<Q", f.read(8))
+        (n_kv,) = struct.unpack("<Q", f.read(8))
+        meta = {}
+        for _ in range(n_kv):
+            key = _read_str(f)
+            (vtype,) = struct.unpack("<I", f.read(4))
+            meta[key] = _read_value(f, vtype)
+        infos = []
+        for _ in range(n_tensors):
+            name = _read_str(f)
+            (ndim,) = struct.unpack("<I", f.read(4))
+            dims = struct.unpack(f"<{ndim}Q", f.read(8 * ndim))
+            (ttype,) = struct.unpack("<I", f.read(4))
+            (offset,) = struct.unpack("<Q", f.read(8))
+            infos.append((name, dims, ttype, offset))
+        alignment = meta.get("general.alignment", 32)
+        data_start = f.tell()
+        data_start += (alignment - data_start % alignment) % alignment
+
+        for name, dims, ttype, offset in infos:
+            n_elem = int(np.prod(dims))
+            if ttype in (F32, F16, BF16):
+                nbytes = n_elem * BLOCK_SIZES[ttype][0]
+            else:
+                bb, be = BLOCK_SIZES[ttype]
+                nbytes = (n_elem // be) * bb
+            f.seek(data_start + offset)
+            raw = np.frombuffer(f.read(nbytes), dtype=np.uint8)
+            flat = dequantize(raw, ttype, n_elem)
+            # gguf dims are innermost-first; torch layout is the reverse
+            tensors[name] = flat.reshape(tuple(reversed(dims)))
+            qtypes[name] = ttype
+    return tensors, qtypes, meta
+
+
+def load_gguf_state_dict(path: str) -> Dict[str, np.ndarray]:
+    tensors, _, _ = read_gguf(path)
+    return tensors

@@ -52,7 +52,7 @@ def make_train_step(cfg: DiTConfig, plan: DiTPlan, mesh: Mesh,
         xT = jax.random.normal(k_noise, x0.shape, jnp.float32)
         t = diffusion.logitnormal_timesteps(k_t, (b,), T=T)
         t_e = t[:, None, None, None, None]
-        x_t = schedule.forward(x0, xT, t_e[..., 0])
+        x_t = schedule.forward(x0, xT, t_e)
         target = xT - x0  # v_lerp
         vid_in = jnp.concatenate(
             [x_t.astype(jnp.bfloat16), batch["cond"].astype(jnp.bfloat16)],

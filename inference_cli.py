@@ -1,0 +1,262 @@
+#!/usr/bin/env python
+"""SeedVR2-TPU standalone CLI — video/image upscaling.
+
+Surface-compatible with the reference inference_cli.py (same flags where they
+make sense on TPU): input type detection (video/image/directory), chunked
+streaming of arbitrarily long videos in bounded memory with temporal-overlap
+blending, model caching across chunks, RGBA alpha, all color-correction
+methods, and VAE tiling.
+
+TPU-specific changes vs the reference:
+ - --cuda_device / multi-GPU subprocess fan-out is replaced by sharded
+   execution over the local TPU mesh (single SPMD process; see
+   seedvr2_tpu/parallel). Frame-parallel chunk fan-out over mesh 'dp' comes
+   from the same batch path.
+ - --compile_* flags are accepted but no-ops: everything is jit-compiled.
+ - BlockSwap flags are accepted; HBM fits the shipped models.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import _bootstrap  # noqa: F401
+
+from seedvr2_tpu.core import pipeline
+from seedvr2_tpu.core.model_manager import configure_runner
+from seedvr2_tpu.utils import video_io
+from seedvr2_tpu.utils.debug import Debug
+from seedvr2_tpu.utils.model_registry import DEFAULT_DIT, DEFAULT_VAE
+from seedvr2_tpu.utils.text_embeds import load_text_embeddings
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser(
+        description="SeedVR2 TPU video/image upscaler")
+    io = p.add_argument_group("Input/Output")
+    io.add_argument("input", type=str, help="video, image, or directory")
+    io.add_argument("--output", type=str, default=None)
+    io.add_argument("--output_format", type=str, default=None,
+                    choices=["mp4", "png", None])
+    io.add_argument("--model_dir", type=str, default="./models")
+
+    m = p.add_argument_group("Model selection")
+    m.add_argument("--dit_model", type=str, default=DEFAULT_DIT)
+    m.add_argument("--vae_model", type=str, default=DEFAULT_VAE)
+
+    proc = p.add_argument_group("Processing")
+    proc.add_argument("--resolution", type=int, default=1080)
+    proc.add_argument("--max_resolution", type=int, default=0)
+    proc.add_argument("--batch_size", type=int, default=5)
+    proc.add_argument("--uniform_batch_size", action="store_true")
+    proc.add_argument("--seed", type=int, default=42)
+    proc.add_argument("--skip_first_frames", type=int, default=0)
+    proc.add_argument("--load_cap", type=int, default=0)
+    proc.add_argument("--chunk_size", type=int, default=0,
+                      help="frames per streaming chunk (0 = whole video)")
+    proc.add_argument("--prepend_frames", type=int, default=0)
+    proc.add_argument("--temporal_overlap", type=int, default=0)
+
+    q = p.add_argument_group("Quality")
+    q.add_argument("--color_correction", type=str, default="lab",
+                   choices=["lab", "wavelet", "wavelet_adaptive", "hsv",
+                            "adain", "none"])
+    q.add_argument("--input_noise_scale", type=float, default=0.0)
+    q.add_argument("--latent_noise_scale", type=float, default=0.0)
+
+    v = p.add_argument_group("VAE tiling")
+    v.add_argument("--vae_encode_tiled", action="store_true")
+    v.add_argument("--vae_encode_tile_size", type=int, default=1024)
+    v.add_argument("--vae_encode_tile_overlap", type=int, default=128)
+    v.add_argument("--vae_decode_tiled", action="store_true")
+    v.add_argument("--vae_decode_tile_size", type=int, default=1024)
+    v.add_argument("--vae_decode_tile_overlap", type=int, default=128)
+
+    perf = p.add_argument_group("Performance")
+    perf.add_argument("--attention_mode", type=str, default="flash",
+                      choices=["flash", "xla", "sdpa", "flash_attn"],
+                      help="flash = Pallas kernel; xla/sdpa = XLA attention")
+    perf.add_argument("--compile_dit", action="store_true",
+                      help="no-op (always jit-compiled)")
+    perf.add_argument("--compile_vae", action="store_true",
+                      help="no-op (always jit-compiled)")
+
+    bs = p.add_argument_group("Memory (accepted for API compat)")
+    bs.add_argument("--blocks_to_swap", type=int, default=0)
+    bs.add_argument("--swap_io_components", action="store_true")
+
+    c = p.add_argument_group("Caching")
+    c.add_argument("--cache_dit", action="store_true")
+    c.add_argument("--cache_vae", action="store_true")
+
+    d = p.add_argument_group("Debug")
+    d.add_argument("--debug", action="store_true")
+    d.add_argument("--profile_dir", type=str, default=None,
+                   help="capture jax profiler traces per phase")
+    return p.parse_args()
+
+
+def default_output_path(input_path: str, out_format: str) -> str:
+    base, _ = os.path.splitext(input_path)
+    suffix = time.strftime("_upscaled_%Y%m%d_%H%M%S")
+    ext = ".mp4" if out_format == "mp4" else ".png"
+    return base + suffix + ext
+
+
+def make_runner(args, debug):
+    return configure_runner(
+        dit_model=args.dit_model, vae_model=args.vae_model,
+        base_cache_dir=args.model_dir, debug=debug,
+        dit_cache=args.cache_dit, vae_cache=args.cache_vae,
+        block_swap_config={"blocks_to_swap": args.blocks_to_swap},
+        encode_tiled=args.vae_encode_tiled,
+        encode_tile_size=(args.vae_encode_tile_size,) * 2,
+        encode_tile_overlap=(args.vae_encode_tile_overlap,) * 2,
+        decode_tiled=args.vae_decode_tiled,
+        decode_tile_size=(args.vae_decode_tile_size,) * 2,
+        decode_tile_overlap=(args.vae_decode_tile_overlap,) * 2,
+        attention_mode=args.attention_mode,
+    )
+
+
+def process_frames(runner, frames: np.ndarray, args, debug,
+                   prepend_frames: int = 0) -> np.ndarray:
+    """Run the 4 phases over one in-memory frame block (T, H, W, C) [0,1]."""
+    if prepend_frames > 0:
+        frames = pipeline.pad_video_temporal(frames, count=prepend_frames,
+                                             prepend=True)
+    ctx = pipeline.setup_generation_context(debug=debug,
+                                            model_dir=args.model_dir)
+    ctx["text_embeds"] = load_text_embeddings(
+        [args.model_dir, os.path.dirname(os.path.abspath(__file__))], debug)
+    with debug.profile("phase1_encode"):
+        ctx = pipeline.encode_all_batches(
+            runner, ctx, frames, debug=debug, batch_size=args.batch_size,
+            uniform_batch_size=args.uniform_batch_size, seed=args.seed,
+            temporal_overlap=args.temporal_overlap,
+            resolution=args.resolution, max_resolution=args.max_resolution,
+            input_noise_scale=args.input_noise_scale,
+            color_correction=args.color_correction)
+    with debug.profile("phase2_upscale"):
+        ctx = pipeline.upscale_all_batches(
+            runner, ctx, debug=debug, seed=args.seed,
+            latent_noise_scale=args.latent_noise_scale)
+    with debug.profile("phase3_decode"):
+        ctx = pipeline.decode_all_batches(runner, ctx, debug=debug)
+    with debug.profile("phase4_postprocess"):
+        ctx = pipeline.postprocess_all_batches(
+            ctx, debug=debug, color_correction=args.color_correction,
+            prepend_frames=prepend_frames,
+            temporal_overlap=args.temporal_overlap,
+            batch_size=args.batch_size)
+    return ctx["final_video"]
+
+
+def process_video(args, debug):
+    reader = video_io.VideoReader(args.input, args.skip_first_frames,
+                                  args.load_cap)
+    out_format = args.output_format or "mp4"
+    out_path = args.output or default_output_path(args.input, out_format)
+    runner = make_runner(args, debug)
+
+    chunk = args.chunk_size if args.chunk_size > 0 else max(reader.remaining, 1)
+    overlap = args.temporal_overlap
+    writer = None
+    held = None           # last `overlap` OUTPUT frames, not yet written
+    prev_in_tail = None   # last `overlap` INPUT frames, re-fed to next chunk
+    total_written = 0
+    t_start = time.perf_counter()
+
+    first_chunk = True
+    while reader.remaining > 0:
+        frames = reader.read_frames(chunk)
+        if frames.shape[0] == 0:
+            break
+        debug.log(f"Processing chunk of {frames.shape[0]} frames "
+                  f"({reader.remaining} remaining)", category="video",
+                  force=True)
+        if prev_in_tail is not None:
+            frames = np.concatenate([prev_in_tail, frames], axis=0)
+        result = process_frames(
+            runner, frames, args, debug,
+            prepend_frames=args.prepend_frames if first_chunk else 0)
+        if held is not None:
+            # seam: blend the held previous tail with this chunk's re-decoded
+            # head (same source frames) — Hann crossfade, then write once
+            result = result.copy()
+            result[:overlap, :, :, :3] = pipeline.blend_overlapping_frames(
+                held[:, :, :, :3], result[:overlap, :, :, :3], overlap)
+        if writer is None:
+            writer = video_io.VideoWriter(out_path, reader.fps,
+                                          result.shape[1:3])
+        if overlap > 0 and reader.remaining > 0 and result.shape[0] > overlap:
+            writer.write_frames(result[:-overlap])
+            total_written += result.shape[0] - overlap
+            held = result[-overlap:]
+            prev_in_tail = frames[-overlap:]
+        else:
+            writer.write_frames(result)
+            total_written += result.shape[0]
+            held = None
+            prev_in_tail = None
+        first_chunk = False
+
+    if writer is not None:
+        writer.close()
+    reader.close()
+    elapsed = time.perf_counter() - t_start
+    fps = total_written / elapsed if elapsed > 0 else 0.0
+    debug.log(f"Wrote {total_written} frames to {out_path} "
+              f"({fps:.2f} frames/s end-to-end)", category="generation",
+              force=True)
+    return out_path
+
+
+def process_image(args, debug):
+    frames = video_io.read_image(args.input)
+    out_format = args.output_format or "png"
+    out_path = args.output or default_output_path(args.input, out_format)
+    runner = make_runner(args, debug)
+    result = process_frames(runner, frames, args, debug)
+    video_io.write_image(out_path, result[0])
+    debug.log(f"Wrote {out_path}", category="generation", force=True)
+    return out_path
+
+
+def process_directory(args, debug):
+    frames = video_io.read_directory(args.input)
+    out_format = args.output_format or "mp4"
+    out_path = args.output or default_output_path(
+        os.path.join(args.input, "frames"), out_format)
+    runner = make_runner(args, debug)
+    result = process_frames(runner, frames, args, debug,
+                            prepend_frames=args.prepend_frames)
+    if out_format == "mp4":
+        writer = video_io.VideoWriter(out_path, 30.0, result.shape[1:3])
+        writer.write_frames(result)
+        writer.close()
+    else:
+        base, _ = os.path.splitext(out_path)
+        for i, frame in enumerate(result):
+            video_io.write_image(f"{base}_{i:05d}.png", frame)
+    debug.log(f"Wrote {out_path}", category="generation", force=True)
+    return out_path
+
+
+def main():
+    args = parse_arguments()
+    debug = Debug(enabled=args.debug, profile_dir=args.profile_dir)
+    kind = video_io.detect_input_type(args.input)
+    if kind == "video":
+        process_video(args, debug)
+    elif kind == "image":
+        process_image(args, debug)
+    else:
+        process_directory(args, debug)
+
+
+if __name__ == "__main__":
+    main()

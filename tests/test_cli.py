@@ -1,0 +1,122 @@
+"""CLI integration tests: tiny models, real video/image files, streaming
+chunks with overlap blending."""
+
+import importlib
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+cv2 = pytest.importorskip("cv2")
+
+import inference_cli  # noqa: E402
+from seedvr2_tpu.core.configs import DiTConfig, RunnerConfig, VAEConfig
+from seedvr2_tpu.utils import video_io
+
+
+@pytest.fixture(scope="module")
+def tiny_runner():
+    import jax
+
+    from seedvr2_tpu.core.runner import VideoDiffusionRunner
+    from seedvr2_tpu.models.dit.nadit import init_dit_params
+    from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE, init_vae_params
+
+    vae_cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                        latent_channels=4, norm_num_groups=4)
+    dit_cfg = DiTConfig(
+        family="dit_3b", vid_in_channels=9, vid_out_channels=4, vid_dim=24,
+        txt_in_dim=16, heads=2, head_dim=12, patch_size=(1, 2, 2),
+        num_layers=2, mm_layers=1, mlp_type="swiglu", window=(2, 2, 2),
+        rope_type="mmrope3d", rope_dim=12, vid_out_norm=True)
+    key = jax.random.PRNGKey(0)
+    vae = VideoVAE(init_vae_params(key, vae_cfg, dtype=jnp.float32), vae_cfg,
+                   dtype=jnp.float32)
+    return VideoDiffusionRunner(
+        init_dit_params(key, dit_cfg, dtype=jnp.float32), dit_cfg, vae,
+        RunnerConfig(dit=dit_cfg, vae=vae_cfg), compute_dtype=jnp.float32)
+
+
+@pytest.fixture()
+def patched_cli(monkeypatch, tiny_runner):
+    rng = np.random.default_rng(0)
+    embeds = {"pos": rng.standard_normal((7, 16)).astype(np.float32),
+              "neg": rng.standard_normal((9, 16)).astype(np.float32)}
+    monkeypatch.setattr(inference_cli, "make_runner",
+                        lambda args, debug: tiny_runner)
+    monkeypatch.setattr(inference_cli, "load_text_embeddings",
+                        lambda dirs, debug=None: embeds)
+    return inference_cli
+
+
+def _write_video(path, frames):
+    h, w = frames.shape[1:3]
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (w, h))
+    for f in frames:
+        writer.write(cv2.cvtColor((f * 255).astype(np.uint8),
+                                  cv2.COLOR_RGB2BGR))
+    writer.release()
+
+
+def _args(inp, out, **kw):
+    import sys
+
+    argv = ["prog", str(inp), "--output", str(out), "--resolution", "32",
+            "--batch_size", "5", "--color_correction", "wavelet"]
+    for k, v in kw.items():
+        argv.append(f"--{k}")
+        if v is not True:
+            argv.append(str(v))
+    old = sys.argv
+    sys.argv = argv
+    try:
+        return inference_cli.parse_arguments()
+    finally:
+        sys.argv = old
+
+
+def test_cli_image(tmp_path, patched_cli):
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (20, 24, 3)).astype(np.float32)
+    in_path = tmp_path / "in.png"
+    video_io.write_image(str(in_path), img)
+
+    out_path = tmp_path / "out.png"
+    args = _args(in_path, out_path)
+    from seedvr2_tpu.utils.debug import Debug
+
+    patched_cli.process_image(args, Debug())
+    assert out_path.exists()
+    back = video_io.read_image(str(out_path))[0]
+    th, tw = args.resolution, None
+    assert min(back.shape[0], back.shape[1]) >= 32
+
+
+def test_cli_video_chunked(tmp_path, patched_cli):
+    rng = np.random.default_rng(2)
+    frames = rng.uniform(0, 1, (12, 20, 24, 3)).astype(np.float32)
+    in_path = tmp_path / "in.mp4"
+    _write_video(in_path, frames)
+
+    out_path = tmp_path / "out.mp4"
+    args = _args(in_path, out_path, chunk_size=7, temporal_overlap=2)
+    from seedvr2_tpu.utils.debug import Debug
+
+    patched_cli.process_video(args, Debug())
+    assert out_path.exists()
+    reader = video_io.VideoReader(str(out_path))
+    assert reader.total == 12  # overlap frames deduplicated across chunks
+    reader.close()
+
+
+def test_detect_input_type(tmp_path):
+    assert video_io.detect_input_type(str(tmp_path)) == "directory"
+    p = tmp_path / "x.mp4"
+    p.touch()
+    assert video_io.detect_input_type(str(p)) == "video"
+    q = tmp_path / "x.png"
+    q.touch()
+    assert video_io.detect_input_type(str(q)) == "image"
