@@ -41,6 +41,9 @@ class DiTConfig:
     # 7B: shared_qkv / shared_mlp control MMModule sharing for all layers.
     shared_qkv: bool = False
     shared_mlp: bool = False
+    # NaDiTUpscaler variant: extra emb_scale TimeEmbedding on a downscale
+    # factor (dit_7b/nadit.py:180-353).
+    upscaler: bool = False
 
     @property
     def txt_dim(self) -> int:

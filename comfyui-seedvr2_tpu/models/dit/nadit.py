@@ -156,6 +156,12 @@ def init_dit_params(key, cfg: DiTConfig, dtype=jnp.bfloat16) -> dict:
     if cfg.txt_in_dim and cfg.txt_in_dim != cfg.txt_dim:
         params["txt_in"] = _linear_init(next(keys), cfg.txt_in_dim, D,
                                         dtype=dtype)
+    if cfg.upscaler:
+        params["emb_scale"] = {
+            "proj_in": _linear_init(next(keys), 256, D, dtype=dtype),
+            "proj_hid": _linear_init(next(keys), D, D, dtype=dtype),
+            "proj_out": _linear_init(next(keys), D, cfg.emb_dim, dtype=dtype),
+        }
 
     blocks = []
     for i in range(cfg.num_layers):
@@ -394,7 +400,8 @@ def unpatchify(x: jnp.ndarray, grid, patch_size, out_channels: int,
 
 
 def nadit_forward(params, cfg: DiTConfig, vid: jnp.ndarray, txt: jnp.ndarray,
-                  timestep: jnp.ndarray, plan: DiTPlan) -> jnp.ndarray:
+                  timestep: jnp.ndarray, plan: DiTPlan,
+                  downscale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Denoiser forward.
 
     Args:
@@ -403,6 +410,8 @@ def nadit_forward(params, cfg: DiTConfig, vid: jnp.ndarray, txt: jnp.ndarray,
         txt: (B, txt_len, txt_in_dim) text embeddings.
         timestep: (B,) diffusion timesteps.
         plan: DiTPlan matching (T, H, W, txt_len).
+        downscale: (B,) downscale factor for the NaDiTUpscaler variant
+            (dit_7b/nadit.py:241-333: emb += emb_scale(downscale)).
 
     Returns:
         (B, T, H, W, vid_out_channels) prediction (v_lerp velocity).
@@ -417,6 +426,8 @@ def nadit_forward(params, cfg: DiTConfig, vid: jnp.ndarray, txt: jnp.ndarray,
         xt = txt
 
     emb = _time_embedding(params["emb_in"], timestep, x.dtype)  # (B, 6D)
+    if "emb_scale" in params and downscale is not None:
+        emb = emb + _time_embedding(params["emb_scale"], downscale, x.dtype)
     emb_r = emb.reshape(B, cfg.vid_dim, 2, 3).astype(jnp.float32)
     emb_attn, emb_mlp = emb_r[..., 0, :], emb_r[..., 1, :]
 

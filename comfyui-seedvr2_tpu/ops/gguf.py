@@ -262,6 +262,11 @@ def dequantize(data: np.ndarray, ggml_type: int, n_elements: int) -> np.ndarray:
     block_bytes, block_elems = BLOCK_SIZES[ggml_type]
     n_blocks = n_elements // block_elems
     blocks = data[: n_blocks * block_bytes].reshape(n_blocks, block_bytes)
+    from .native import native_dequantize
+
+    native = native_dequantize(blocks, ggml_type)
+    if native is not None:
+        return native.reshape(-1)[:n_elements]
     return _DEQUANT[ggml_type](blocks).reshape(-1)[:n_elements]
 
 

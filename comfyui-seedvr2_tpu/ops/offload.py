@@ -1,0 +1,130 @@
+"""Host-RAM weight tiering: the TPU-native BlockSwap.
+
+The reference wraps each transformer block's forward with .to(gpu)/.to(cpu)
+pairs (src/optimization/blockswap.py:379-456). On TPU the equivalent is
+per-block host->HBM streaming with double buffering: block weights live in
+host RAM (numpy), the next block's transfer is dispatched asynchronously
+(jax.device_put returns immediately) while the current block computes, and
+per-block jitted functions keep compilation static. Swap timing telemetry
+mirrors debug.get_swap_summary.
+
+Only needed when the model doesn't fit HBM (e.g. 7B fp16 + huge activations
+on small-HBM parts); configure via StreamedNaDiT(keep_blocks=N) to pin the
+first N blocks in HBM permanently.
+"""
+
+import functools
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.configs import DiTConfig
+from ..models.dit.nadit import (DiTPlan, _block_forward, _time_embedding,
+                                linear, patchify, rms_norm, unpatchify)
+
+
+class SwapStats:
+    def __init__(self):
+        self.block_swaps = 0
+        self.block_total_ms = 0.0
+        self.block_times: List[float] = []
+
+    def record(self, ms: float):
+        self.block_swaps += 1
+        self.block_total_ms += ms
+        self.block_times.append(ms)
+
+    def summary(self) -> Dict[str, float]:
+        if not self.block_times:
+            return {"total_swaps": 0}
+        return {
+            "total_swaps": self.block_swaps,
+            "block_swaps": self.block_swaps,
+            "block_total_ms": self.block_total_ms,
+            "block_avg_ms": self.block_total_ms / self.block_swaps,
+            "block_min_ms": min(self.block_times),
+            "block_max_ms": max(self.block_times),
+        }
+
+
+class StreamedNaDiT:
+    """NaDiT forward with transformer blocks streamed from host RAM.
+
+    Equivalent outputs to nadit_forward; the python-level block loop is the
+    price of streaming (the reference pays the same with forward hooks)."""
+
+    def __init__(self, params: dict, cfg: DiTConfig, keep_blocks: int = 0,
+                 device=None):
+        self.cfg = cfg
+        self.device = device or jax.devices()[0]
+        self.stats = SwapStats()
+        self.keep_blocks = keep_blocks
+
+        blocks = params["blocks"]
+        self.resident = [jax.device_put(b, self.device)
+                         for b in blocks[:keep_blocks]]
+        self.host_blocks = [
+            jax.tree.map(lambda x: np.asarray(x), b)
+            for b in blocks[keep_blocks:]
+        ]
+        self.io_params = jax.device_put(
+            {k: v for k, v in params.items() if k != "blocks"}, self.device)
+
+        self._block_fns: Dict[Tuple, callable] = {}
+
+    def _block_fn(self, i: int, plan: DiTPlan):
+        cfg = self.cfg
+        key = (cfg.block_shared(i), cfg.block_vid_only(i),
+               cfg.window_method(i), plan.grid, plan.txt_len)
+        if key not in self._block_fns:
+
+            @jax.jit
+            def fn(p_blk, xv, xt, emb_attn, emb_mlp):
+                return _block_forward(p_blk, cfg, i, xv, xt, emb_attn,
+                                      emb_mlp, plan)
+
+            self._block_fns[key] = fn
+        return self._block_fns[key]
+
+    def __call__(self, vid: jnp.ndarray, txt: jnp.ndarray,
+                 timestep: jnp.ndarray, plan: DiTPlan) -> jnp.ndarray:
+        cfg = self.cfg
+        params = self.io_params
+        B, T = vid.shape[0], vid.shape[1]
+
+        x = patchify(vid, cfg.patch_size)
+        x = linear(x, params["vid_in"]["proj"])
+        xt = linear(txt, params["txt_in"]) if "txt_in" in params else txt
+        emb = _time_embedding(params["emb_in"], timestep, x.dtype)
+        emb_r = emb.reshape(B, cfg.vid_dim, 2, 3).astype(jnp.float32)
+        emb_attn, emb_mlp = emb_r[..., 0, :], emb_r[..., 1, :]
+
+        # double-buffered streaming over host blocks
+        n_host = len(self.host_blocks)
+        pending = (jax.device_put(self.host_blocks[0], self.device)
+                   if n_host else None)
+        for i in range(cfg.num_layers):
+            if i < self.keep_blocks:
+                blk = self.resident[i]
+            else:
+                hi = i - self.keep_blocks
+                t0 = time.perf_counter()
+                blk = pending
+                if hi + 1 < n_host:
+                    pending = jax.device_put(self.host_blocks[hi + 1],
+                                             self.device)
+                self.stats.record((time.perf_counter() - t0) * 1000.0)
+            x, xt = self._block_fn(i, plan)(blk, x, xt, emb_attn, emb_mlp)
+
+        if cfg.vid_out_norm:
+            x = rms_norm(x, cfg.norm_eps, params["vid_out_norm"]["weight"])
+            shift_a, scale_a = emb_attn[..., 0], emb_attn[..., 1]
+            scale_b = params["vid_out_ada"]["out_scale"].astype(x.dtype)
+            shift_b = params["vid_out_ada"]["out_shift"].astype(x.dtype)
+            x = x * (scale_a[:, None, :].astype(x.dtype) + scale_b) + (
+                shift_a[:, None, :].astype(x.dtype) + shift_b)
+        x = linear(x, params["vid_out"]["proj"])
+        return unpatchify(x, plan.grid, cfg.patch_size, cfg.vid_out_channels, T)

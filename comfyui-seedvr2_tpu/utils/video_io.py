@@ -77,11 +77,13 @@ class VideoReader:
             ok, frame = self.cap.read()
             if not ok:
                 break
-            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            frames.append(frame)  # BGR uint8
             self.remaining -= 1
         if not frames:
             return np.zeros((0, self.height, self.width, 3), np.float32)
-        return np.stack(frames).astype(np.float32) / 255.0
+        from ..ops.native import frames_to_float
+
+        return frames_to_float(np.stack(frames), swap_rb=True)
 
     def close(self):
         self.cap.release()
@@ -98,9 +100,10 @@ class VideoWriter:
 
     def write_frames(self, frames: np.ndarray):
         """frames: (T, H, W, 3) float32 [0,1]."""
+        from ..ops.native import frames_to_uint8
+
         for frame in frames:
-            img = np.clip(frame[..., :3] * 255.0, 0, 255).astype(np.uint8)
-            self.writer.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            self.writer.write(frames_to_uint8(frame[..., :3], swap_rb=True))
 
     def close(self):
         self.writer.release()

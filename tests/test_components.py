@@ -1,0 +1,125 @@
+"""Component tests: streamed (BlockSwap-equivalent) forward, NaDiTUpscaler
+variant, ComfyUI node contract, mesh-sharded inference."""
+
+import importlib
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from seedvr2_tpu.core.configs import DiTConfig
+from seedvr2_tpu.core.loader import torch_module_to_params
+from seedvr2_tpu.models.dit.nadit import (build_dit_plan, init_dit_params,
+                                          nadit_forward)
+
+from .oracle_ref import load_reference_src
+
+
+def _tiny_cfg():
+    return DiTConfig(
+        family="dit_3b", vid_in_channels=9, vid_out_channels=4, vid_dim=24,
+        txt_in_dim=16, heads=2, head_dim=12, patch_size=(1, 2, 2),
+        num_layers=2, mm_layers=1, mlp_type="swiglu", window=(2, 2, 2),
+        rope_type="mmrope3d", rope_dim=12, vid_out_norm=True)
+
+
+def test_streamed_nadit_matches_regular():
+    from seedvr2_tpu.ops.offload import StreamedNaDiT
+
+    cfg = _tiny_cfg()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    T, H, W, L = 3, 8, 8, 5
+    plan = build_dit_plan(cfg, (T, H, W), L)
+    rng = np.random.default_rng(0)
+    vid = jnp.asarray(rng.standard_normal((1, T, H, W, 9)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, L, 16)), jnp.float32)
+    t = jnp.asarray([500.0])
+
+    regular = nadit_forward(params, cfg, vid, txt, t, plan)
+    streamed = StreamedNaDiT(params, cfg, keep_blocks=1)(vid, txt, t, plan)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(regular),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nadit_upscaler_variant():
+    """NaDiTUpscaler: emb += emb_scale(downscale). The reference class is
+    not directly runnable as an oracle (dit_7b/nadit.py:290 references an
+    undefined `attention_mode` — latent upstream bug; the class is never
+    instantiated in the reference repo), so we verify our variant
+    structurally: the downscale embedding exists and shifts the output."""
+    cfg = DiTConfig(
+        family="dit_7b", vid_in_channels=9, vid_out_channels=4, vid_dim=24,
+        txt_in_dim=16, heads=2, head_dim=12, patch_size=(1, 2, 2),
+        num_layers=2, mm_layers=0, mlp_type="normal", window=(2, 2, 2),
+        rope_type="rope3d_window", rope_dim=6, vid_out_norm=False,
+        upscaler=True)
+    params = init_dit_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    assert "emb_scale" in params
+
+    T, H, W, L = 3, 8, 6, 5
+    plan = build_dit_plan(cfg, (T, H, W), L)
+    rng = np.random.default_rng(6)
+    vid = jnp.asarray(rng.standard_normal((1, T, H, W, 9)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, L, 16)), jnp.float32)
+    t = jnp.asarray([700.0])
+
+    out2 = nadit_forward(params, cfg, vid, txt, t, plan,
+                         downscale=jnp.asarray([2.0]))
+    out4 = nadit_forward(params, cfg, vid, txt, t, plan,
+                         downscale=jnp.asarray([4.0]))
+    assert np.abs(np.asarray(out2) - np.asarray(out4)).max() > 1e-5
+
+
+def test_node_config_contract():
+    from seedvr2_tpu.interfaces import (SeedVR2LoadDiTModel,
+                                        SeedVR2LoadVAEModel,
+                                        SeedVR2TorchCompileSettings)
+
+    dit = SeedVR2LoadDiTModel.execute(model="m.safetensors", device="tpu:0",
+                                      offload_device="cpu", cache_model=True,
+                                      blocks_to_swap=4)
+    assert set(dit) >= {"model", "device", "offload_device", "cache_model",
+                        "blocks_to_swap", "swap_io_components",
+                        "attention_mode", "torch_compile_args"}
+    vae = SeedVR2LoadVAEModel.execute(model="v.safetensors",
+                                      encode_tiled=True)
+    assert set(vae) >= {"model", "encode_tiled", "encode_tile_size",
+                        "decode_tiled", "decode_tile_size", "tile_debug"}
+    tc = SeedVR2TorchCompileSettings.execute()
+    assert set(tc) == {"backend", "mode", "fullgraph", "dynamic",
+                       "dynamo_cache_size_limit", "dynamo_recompile_limit"}
+    with pytest.raises(ValueError):
+        SeedVR2LoadDiTModel.execute(blocks_to_swap=2, offload_device="none")
+
+
+def test_mesh_dp_inference_matches_single_device():
+    """Batch sharded over dp on the 8-device CPU mesh must reproduce the
+    single-device result (replaces the reference's per-GPU fan-out)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from seedvr2_tpu.parallel.mesh import make_mesh, shard_params
+
+    cfg = _tiny_cfg()
+    params = init_dit_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    T, H, W, L = 1, 6, 6, 5
+    plan = build_dit_plan(cfg, (T, H, W), L)
+    rng = np.random.default_rng(1)
+    vid = jnp.asarray(rng.standard_normal((8, T, H, W, 9)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((8, L, 16)), jnp.float32)
+    t = jnp.full((8,), 500.0, jnp.float32)
+
+    single = np.asarray(nadit_forward(params, cfg, vid, txt, t, plan))
+
+    mesh = make_mesh(8, axis_names=("dp",))
+    with mesh:
+        sp = shard_params(mesh, params)
+        vid_s = jax.device_put(vid, NamedSharding(mesh, P("dp")))
+        txt_s = jax.device_put(txt, NamedSharding(mesh, P("dp")))
+        t_s = jax.device_put(t, NamedSharding(mesh, P("dp")))
+        fn = jax.jit(lambda p, v, x, tt: nadit_forward(p, cfg, v, x, tt, plan))
+        sharded = np.asarray(fn(sp, vid_s, txt_s, t_s))
+
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-4)

@@ -119,3 +119,16 @@ def test_gguf_container_roundtrip(tmp_path):
     assert qtypes[name.decode()] == my.F32
     np.testing.assert_array_equal(tensors[name.decode()],
                                   data.reshape(8, 8))
+
+
+def test_native_dequant_matches_numpy():
+    """Native C++ dequant (if built) must match the numpy implementations."""
+    from seedvr2_tpu.ops import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    for qtype in (my.Q8_0, my.Q4_K, my.Q6_K):
+        blocks = _make_blocks(qtype, n_blocks=16, seed=qtype)
+        nat = native.native_dequantize(blocks, qtype)
+        ref = my._DEQUANT[qtype](blocks)
+        np.testing.assert_allclose(nat, ref, rtol=0, atol=0)
