@@ -25,6 +25,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from seedvr2_tpu.core.configs import DIT_3B, RunnerConfig
     from seedvr2_tpu.models.dit.nadit import build_dit_plan, init_dit_params
     from seedvr2_tpu.core.runner import VideoDiffusionRunner

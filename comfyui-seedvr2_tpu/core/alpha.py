@@ -21,6 +21,13 @@ _SOBEL_Y = _SOBEL_X.T
 _GRAY = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
+def _resize_alpha(alpha, h_out, w_out):
+    """Bicubic antialias upscale via the matrix-resize path (transforms)."""
+    from ..utils.transforms import resize_video
+
+    return resize_video(alpha, h_out, w_out)
+
+
 def _conv2d_single(x: jnp.ndarray, kernel: np.ndarray,
                    padding: str = "REFLECT") -> jnp.ndarray:
     """Depthwise 3x3 conv on (T, H, W, 1) with reflect-101 border (cv2)."""
@@ -68,8 +75,7 @@ def guided_filter(guide_rgb01: jnp.ndarray, src: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("h_out", "w_out"))
 def _binary_path(alpha_in, rgb01_up, h_out, w_out):
     t = alpha_in.shape[0]
-    base = jnp.clip(jax.image.resize(alpha_in, (t, h_out, w_out, 1), "cubic",
-                                     antialias=True), 0.0, 1.0)
+    base = jnp.clip(_resize_alpha(alpha_in, h_out, w_out), 0.0, 1.0)
     refined = guided_filter(rgb01_up, base, radius=2, eps=0.002)
     edges = detect_edges(rgb01_up)
     transition = jax.lax.reduce_window(
@@ -94,8 +100,7 @@ def _binary_path(alpha_in, rgb01_up, h_out, w_out):
 @functools.partial(jax.jit, static_argnames=("h_out", "w_out"))
 def _gradient_path(alpha_in, rgb01_up, h_out, w_out):
     t = alpha_in.shape[0]
-    base = jnp.clip(jax.image.resize(alpha_in, (t, h_out, w_out, 1), "cubic",
-                                     antialias=True), 0.0, 1.0)
+    base = jnp.clip(_resize_alpha(alpha_in, h_out, w_out), 0.0, 1.0)
     out = guided_filter(rgb01_up, base, radius=3, eps=0.002)
     return jnp.clip(out, 0.0, 1.0)
 

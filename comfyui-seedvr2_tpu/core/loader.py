@@ -74,9 +74,15 @@ def convert_state_dict(
     for key, val in state.items():
         if _should_skip(key):
             continue
-        arr = np.asarray(val)
         parts = key.split(".")
         leaf = parts[-1]
+        if isinstance(val, dict) and "q8" in val:
+            # quantized linear weight: merge {"q8","scales"} into the module
+            # node (consumed by ops/layers.linear via the fused kernel)
+            _assign(tree, parts[:-1] + ["q8"], jnp.asarray(val["q8"]))
+            _assign(tree, parts[:-1] + ["scales"], jnp.asarray(val["scales"]))
+            continue
+        arr = np.asarray(val)
         if leaf == "weight":
             if arr.ndim == 2:
                 parts[-1] = "w"

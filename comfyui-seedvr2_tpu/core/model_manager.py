@@ -64,12 +64,15 @@ def _read_safetensors_numpy(path: str) -> Dict[str, np.ndarray]:
     return state
 
 
-def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE) -> Tuple[dict, DiTConfig]:
+def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
+                        keep_quantized: bool = False) -> Tuple[dict, DiTConfig]:
+    """keep_quantized: keep GGUF Q8_0 linears as int8+scales for the fused
+    dequant-matmul kernel instead of expanding to bf16."""
     cfg = dit_config_for(os.path.basename(path))
     if path.endswith(".gguf"):
         from ..ops.gguf import load_gguf_state_dict
 
-        state = load_gguf_state_dict(path)
+        state = load_gguf_state_dict(path, keep_q8=keep_quantized)
     elif path.endswith((".pth", ".pt")):
         import torch
 
@@ -114,6 +117,7 @@ def configure_runner(
     decode_tile_overlap: Tuple[int, int] = (128, 128),
     attention_mode: str = "flash",
     compute_dtype=COMPUTE_DTYPE,
+    keep_quantized: bool = False,
     **_compat_kwargs,
 ) -> VideoDiffusionRunner:
     """Build (or fetch cached) a fully configured runner for a model pair."""
@@ -134,10 +138,17 @@ def configure_runner(
     vae_path = (vae_model if os.path.isfile(vae_model)
                 else download_weight(vae_model, base_cache_dir, debug))
 
+    import jax
+
     dit_params = cache.get_dit(dit_path) if dit_cache else None
     if dit_params is None:
         with debug.timer("load_dit", "DiT weights load"):
-            dit_params, dit_cfg = load_dit_checkpoint(dit_path, compute_dtype)
+            dit_params, dit_cfg = load_dit_checkpoint(
+                dit_path, compute_dtype, keep_quantized=keep_quantized)
+            # force the host->HBM transfer to complete inside the timer
+            # (transfers are async; without this the first jit execution
+            # silently absorbs multi-GB upload time)
+            jax.block_until_ready(dit_params)
         if dit_cache:
             cache.set_dit(dit_path, dit_params)
     else:
@@ -147,6 +158,7 @@ def configure_runner(
     if vae is None:
         with debug.timer("load_vae", "VAE weights load"):
             vae_params = load_vae_checkpoint(vae_path, compute_dtype)
+            jax.block_until_ready(vae_params)
         vae = VideoVAE(vae_params, VAE_V3, dtype=compute_dtype)
         if vae_cache:
             cache.set_vae(vae_path, vae)

@@ -188,7 +188,11 @@ def encode_all_batches(
         else:
             rgb = video
 
+        debug.start_timer(f"transform_{bi}")
         transformed = _transform_batch(ctx, rgb)
+        if debug.enabled:
+            jax.block_until_ready(transformed)
+        debug.end_timer(f"transform_{bi}", f"transform batch {bi}")
         if input_noise_scale > 0:
             nkey = jax.random.fold_in(key, bi)
             noise = jax.random.normal(nkey, transformed.shape,
@@ -196,8 +200,10 @@ def encode_all_batches(
             blend = input_noise_scale * 0.5
             transformed = transformed * (1 - blend) + (transformed + noise) * blend
 
+        debug.start_timer(f"vae_encode_{bi}")
         latent = runner.vae_encode([transformed.astype(runner.compute_dtype)])[0]
         ctx["all_latents"].append(jax.device_get(latent))
+        debug.end_timer(f"vae_encode_{bi}", f"vae encode batch {bi}")
         if progress_callback:
             progress_callback(bi + 1, len(batches), end - start,
                               "Phase 1: Encoding")

@@ -295,11 +295,16 @@ def _read_value(f, vtype: int):
     raise ValueError(f"unknown gguf kv type {vtype}")
 
 
-def read_gguf(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, int], dict]:
+def read_gguf(path: str, keep_q8: bool = False
+              ) -> Tuple[Dict[str, np.ndarray], Dict[str, int], dict]:
     """Parse a GGUF file.
 
     Returns (tensors: name -> float32 ndarray in torch layout,
-             qtypes: name -> ggml type id, metadata kv dict)."""
+             qtypes: name -> ggml type id, metadata kv dict).
+
+    With keep_q8=True, 2D Q8_0 tensors are returned quantized as
+    {"q8": int8 (out, in), "scales": float32 (out, in/32)} for the fused
+    dequant-matmul serving path (ops/quant_matmul.py)."""
     tensors: Dict[str, np.ndarray] = {}
     qtypes: Dict[str, int] = {}
     with open(path, "rb") as f:
@@ -334,13 +339,23 @@ def read_gguf(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, int], dict]:
                 nbytes = (n_elem // be) * bb
             f.seek(data_start + offset)
             raw = np.frombuffer(f.read(nbytes), dtype=np.uint8)
+            qtypes[name] = ttype
+            torch_shape = tuple(reversed(dims))
+            if keep_q8 and ttype == Q8_0 and len(dims) == 2 \
+                    and dims[0] % QK == 0:
+                blocks = raw.reshape(-1, 34)
+                q = blocks[:, 2:].view(np.int8).reshape(torch_shape)
+                scales = blocks[:, :2].copy().view(np.float16).astype(
+                    np.float32).reshape(torch_shape[0], torch_shape[1] // QK)
+                tensors[name] = {"q8": q, "scales": scales}
+                continue
             flat = dequantize(raw, ttype, n_elem)
             # gguf dims are innermost-first; torch layout is the reverse
-            tensors[name] = flat.reshape(tuple(reversed(dims)))
-            qtypes[name] = ttype
+            tensors[name] = flat.reshape(torch_shape)
     return tensors, qtypes, meta
 
 
-def load_gguf_state_dict(path: str) -> Dict[str, np.ndarray]:
-    tensors, _, _ = read_gguf(path)
+def load_gguf_state_dict(path: str, keep_q8: bool = False
+                         ) -> Dict[str, np.ndarray]:
+    tensors, _, _ = read_gguf(path, keep_q8=keep_q8)
     return tensors

@@ -62,7 +62,15 @@ def group_norm(x: jnp.ndarray, num_groups: int, eps: float = 1e-6,
 
 
 def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """x @ w + b with fp32 accumulation on the MXU. p: {"w": (in, out), "b"?}."""
+    """x @ w + b with fp32 accumulation on the MXU.
+
+    p: {"w": (in, out), "b"?} for dense weights, or
+    {"q8": (out, in) int8, "scales": (out, in/32), "b"?} for Q8_0 weights
+    (routes through the fused dequant-matmul Pallas kernel)."""
+    if "q8" in p:
+        from .quant_matmul import quant_linear
+
+        return quant_linear(x, p)
     out = jnp.dot(x, p["w"].astype(x.dtype),
                   preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p and p["b"] is not None:

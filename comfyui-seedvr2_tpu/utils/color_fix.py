@@ -107,7 +107,9 @@ _D65 = np.array([0.95047, 1.0, 1.08883], dtype=np.float32)
 def _rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     """(T, H, W, 3) in [0,1] -> LAB channels stacked on last axis."""
     lin = jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
-    xyz = lin @ jnp.asarray(_RGB2XYZ).T
+    # HIGHEST: full-fp32 matmul on TPU (default bf16 passes visibly shift hue)
+    xyz = jnp.matmul(lin, jnp.asarray(_RGB2XYZ).T,
+                     precision=jax.lax.Precision.HIGHEST)
     xyz = xyz / jnp.asarray(_D65)
     f = jnp.where(xyz > _EPS ** 3, jnp.cbrt(xyz), (xyz * _KAPPA + 16.0) / 116.0)
     L = f[..., 1] * 116.0 - 16.0
@@ -126,7 +128,8 @@ def _lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(f > _EPS, f ** 3, (f * 116.0 - 16.0) / _KAPPA)
 
     xyz = jnp.stack([inv(fx), inv(fy), inv(fz)], axis=-1) * jnp.asarray(_D65)
-    lin = xyz @ jnp.asarray(_XYZ2RGB).T
+    lin = jnp.matmul(xyz, jnp.asarray(_XYZ2RGB).T,
+                     precision=jax.lax.Precision.HIGHEST)
     rgb = jnp.where(lin > 0.0031308,
                     jnp.clip(lin, 0.0) ** (1.0 / 2.4) * 1.055 - 0.055,
                     lin * 12.92)

@@ -9,11 +9,13 @@ torchvision bicubic antialias; kernels differ slightly — documented
 divergence, PSNR-irrelevant for upscaling where the resize is an upsample).
 """
 
+import functools
 import math
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def side_resize_dims(h: int, w: int, size: int, max_size: int = 0,
@@ -41,11 +43,56 @@ def area_resize_dims(h: int, w: int, max_area: float,
     return round(h * scale), round(w * scale)
 
 
+def _cubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys cubic, a=-0.5 (PIL/torch antialiased-bicubic convention)."""
+    ax = np.abs(x)
+    w = np.where(ax <= 1.0, (a + 2) * ax**3 - (a + 3) * ax**2 + 1.0,
+                 np.where(ax < 2.0,
+                          a * (ax**3 - 5 * ax**2 + 8 * ax - 4.0), 0.0))
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) bicubic antialias interpolation matrix (PIL-style window:
+    edge pixels clamped by renormalizing over the valid support).
+
+    Resize-as-matmul is the TPU-native formulation: separable dense matmuls
+    hit the MXU and compile in milliseconds, unlike the gather-based
+    jax.image.resize which takes minutes of XLA compile time at these shapes.
+    """
+    scale = in_size / out_size
+    fscale = max(scale, 1.0)
+    support = 2.0 * fscale
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), in_size)
+        idx = np.arange(lo, hi, dtype=np.float64)
+        w = _cubic_kernel((idx + 0.5 - center) / fscale)
+        s = w.sum()
+        if s != 0:
+            w = w / s
+        m[i, lo:hi] = w
+    return m
+
+
 def resize_video(x: jnp.ndarray, nh: int, nw: int) -> jnp.ndarray:
-    """Bicubic antialiased resize of (T, H, W, C) frames."""
-    t, _, _, c = x.shape
-    return jax.image.resize(x.astype(jnp.float32), (t, nh, nw, c),
-                            method="cubic", antialias=True)
+    """Bicubic antialiased resize of (T, H, W, C) frames via separable
+    interpolation matrices (see resize_matrix)."""
+    h, w = x.shape[1], x.shape[2]
+    if (h, w) == (nh, nw):
+        return x.astype(jnp.float32)
+    mh = jnp.asarray(resize_matrix(h, nh))
+    mw = jnp.asarray(resize_matrix(w, nw))
+    x32 = x.astype(jnp.float32)
+    # HIGHEST keeps resize fp32-exact on TPU (preprocessing feeds the PSNR
+    # reference); cost is negligible at preprocessing sizes.
+    tmp = jnp.einsum("oh,thwc->towc", mh, x32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,towc->topc", mw, tmp,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def divisible_pad(x: jnp.ndarray, factor: int = 16) -> jnp.ndarray:

@@ -248,8 +248,18 @@ def process_directory(args, debug):
 
 def main():
     args = parse_arguments()
+    from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     debug = Debug(enabled=args.debug, profile_dir=args.profile_dir)
-    kind = video_io.detect_input_type(args.input)
+    try:
+        kind = video_io.detect_input_type(args.input)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        sys.exit(2)
+    if not os.path.exists(args.input):
+        print(f"error: input not found: {args.input}", file=sys.stderr)
+        sys.exit(2)
     if kind == "video":
         process_video(args, debug)
     elif kind == "image":

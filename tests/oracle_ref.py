@@ -347,11 +347,30 @@ def _install_diffusers_vae_stub():
     _mod("diffusers.utils.accelerate_utils").apply_forward_hook = apply_forward_hook
 
 
+def _install_torchvision_stub():
+    """color_fix imports ToTensor/ToPILImage (unused in the tensor paths)."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class _Unused:
+        def __call__(self, *a, **k):
+            raise NotImplementedError
+
+    transforms.ToTensor = _Unused
+    transforms.ToPILImage = _Unused
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+
+
 def load_reference_src():
     """Import /root/reference/src as package `refsrc` (CPU-only, test oracle)."""
     _install_rotary_stub()
     _install_diffusers_stub()
     _install_diffusers_vae_stub()
+    _install_torchvision_stub()
     if "refsrc" in sys.modules:
         return sys.modules["refsrc"]
     spec = importlib.util.spec_from_file_location(

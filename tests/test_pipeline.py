@@ -147,3 +147,20 @@ def test_pipeline_rgba_alpha_path(tiny_runner):
     assert final.shape[-1] == 4
     alpha_out = final[..., 3]
     assert alpha_out.min() >= 0.0 and alpha_out.max() <= 1.0
+
+
+def test_resize_matches_torch_antialiased_bicubic():
+    """Matrix bicubic resize vs torch F.interpolate(antialias=True) — the
+    exact op the reference applies through torchvision SideResize."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.float32) / 255.0
+    for (nh, nw) in [(96, 128), (20, 30)]:  # upscale + downscale
+        t = torch.from_numpy(img.transpose(2, 0, 1))[None]
+        ref = F.interpolate(t, size=(nh, nw), mode="bicubic",
+                            antialias=True)[0].numpy().transpose(1, 2, 0)
+        mine = np.asarray(transforms.resize_video(
+            jnp.asarray(img[None]), nh, nw))[0]
+        np.testing.assert_allclose(mine, ref, rtol=1e-4, atol=1e-5)
