@@ -204,6 +204,8 @@ def encode_all_batches(
         latent = runner.vae_encode([transformed.astype(runner.compute_dtype)])[0]
         ctx["all_latents"].append(jax.device_get(latent))
         debug.end_timer(f"vae_encode_{bi}", f"vae encode batch {bi}")
+        ctx["encode_tile_boundaries"] = list(
+            getattr(runner.vae, "last_encode_tiles", []))
         if progress_callback:
             progress_callback(bi + 1, len(batches), end - start,
                               "Phase 1: Encoding")
@@ -310,6 +312,8 @@ def decode_all_batches(
 
     ctx["final_video"] = final[:write_idx]
     ctx["all_upscaled_latents"] = []
+    ctx["decode_tile_boundaries"] = list(
+        getattr(runner.vae, "last_decode_tiles", []))
     debug.end_timer("phase3_decoding", "Phase 3: VAE decoding complete")
     return ctx
 
@@ -360,6 +364,18 @@ def postprocess_all_batches(
         final[ws:we, :, :, :3] = np.clip(sample, -1.0, 1.0) * 0.5 + 0.5
         if progress_callback:
             progress_callback(step + 1, len(info), 1, "Phase 4: Post-processing")
+
+    # tile_debug overlay: draw the last tiled encode/decode boundaries
+    tile_debug = ctx.get("tile_debug", "false")
+    if tile_debug in ("encode", "decode"):
+        tiles = ctx.get(f"{tile_debug}_tile_boundaries") or []
+        color = np.array([1.0, 0.2, 0.2] if tile_debug == "decode"
+                         else [0.2, 1.0, 0.2], np.float32)
+        for (y, x, h, w) in tiles:
+            y2 = min(y + h, final.shape[1]) - 1
+            x2 = min(x + w, final.shape[2]) - 1
+            final[:, y:y2 + 1, [x, x2], :3] = color
+            final[:, [y, y2], x:x2 + 1, :3] = color
 
     if prepend_frames > 0 and prepend_frames < final.shape[0]:
         final = final[prepend_frames:]

@@ -53,21 +53,57 @@ class VideoDiffusionRunner:
         self.compute_dtype = compute_dtype
         self.schedule = diffusion.LerpSchedule(config.diffusion.schedule_T)
         self._denoise_cache: Dict[tuple, callable] = {}
+        self.mesh = None
+
+    def attach_mesh(self, mesh):
+        """Enable multi-chip data-parallel inference: params replicate across
+        the mesh, batches shard over the 'dp' axis. Replaces the reference's
+        per-GPU subprocess fan-out (inference_cli.py:1048-1214) with SPMD."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.dit_params = jax.device_put(
+            self.dit_params, NamedSharding(mesh, P()))
+        if self.vae is not None:
+            self.vae.params = jax.device_put(
+                self.vae.params, NamedSharding(mesh, P()))
 
     # ----------------------------------------------------------------- vae
 
+    @staticmethod
+    def _is_oom(err: Exception) -> bool:
+        return "RESOURCE_EXHAUSTED" in str(err) or "Out of memory" in str(err)
+
     def vae_encode(self, samples: List[jnp.ndarray]) -> List[jnp.ndarray]:
         """samples: list of (T, H, W, 3) in [-1, 1] -> latents (Tl, h, w, 16)
-        scaled by the VAE scaling factor (infer.py:117-188)."""
+        scaled by the VAE scaling factor (infer.py:117-188).
+
+        HBM-OOM resilience (the TPU analogue of the reference's retry_on_oom,
+        memory_manager.py:350-392): on RESOURCE_EXHAUSTED the call retries
+        once with spatial tiling engaged."""
         scale = self.config.vae.scaling_factor
         shift = self.config.vae.shifting_factor
         out = []
         for sample in samples:
-            lat = self.vae.encode(
-                sample[None], tiled=self.encode_tiled,
-                tile_size=self.encode_tile_size,
-                tile_overlap=self.encode_tile_overlap,
-            )[0]
+            try:
+                lat = self.vae.encode(
+                    sample[None], tiled=self.encode_tiled,
+                    tile_size=self.encode_tile_size,
+                    tile_overlap=self.encode_tile_overlap,
+                )[0]
+            except Exception as e:  # noqa: BLE001
+                if not self._is_oom(e) or self.encode_tiled:
+                    raise
+                self.debug.log(
+                    "HBM OOM during VAE encode; retrying with tiling "
+                    f"{self.encode_tile_size}", level="WARNING",
+                    category="vae", force=True)
+                self.encode_tiled = True
+                lat = self.vae.encode(
+                    sample[None], tiled=True,
+                    tile_size=self.encode_tile_size,
+                    tile_overlap=self.encode_tile_overlap,
+                )[0]
             out.append(((lat.astype(jnp.float32) - shift) * scale)
                        .astype(self.compute_dtype))
         return out
@@ -78,11 +114,25 @@ class VideoDiffusionRunner:
         out = []
         for lat in latents:
             z = (lat.astype(jnp.float32) / scale + shift)
-            sample = self.vae.decode(
-                z[None].astype(self.vae.dtype), tiled=self.decode_tiled,
-                tile_size=self.decode_tile_size,
-                tile_overlap=self.decode_tile_overlap,
-            )[0]
+            try:
+                sample = self.vae.decode(
+                    z[None].astype(self.vae.dtype), tiled=self.decode_tiled,
+                    tile_size=self.decode_tile_size,
+                    tile_overlap=self.decode_tile_overlap,
+                )[0]
+            except Exception as e:  # noqa: BLE001
+                if not self._is_oom(e) or self.decode_tiled:
+                    raise
+                self.debug.log(
+                    "HBM OOM during VAE decode; retrying with tiling "
+                    f"{self.decode_tile_size}", level="WARNING",
+                    category="vae", force=True)
+                self.decode_tiled = True
+                sample = self.vae.decode(
+                    z[None].astype(self.vae.dtype), tiled=True,
+                    tile_size=self.decode_tile_size,
+                    tile_overlap=self.decode_tile_overlap,
+                )[0]
             out.append(sample)
         return out
 
@@ -187,7 +237,17 @@ class VideoDiffusionRunner:
         noise_b = jnp.stack(noises).astype(self.compute_dtype)
         cond_b = jnp.stack(conditions).astype(self.compute_dtype)
         b = noise_b.shape[0]
-        out = fn(self.dit_params, noise_b, cond_b,
-                 jnp.broadcast_to(txt_pos[None], (b, *txt_pos.shape)),
-                 jnp.broadcast_to(txt_neg[None], (b, *txt_neg.shape)))
+        txt_pos_b = jnp.broadcast_to(txt_pos[None], (b, *txt_pos.shape))
+        txt_neg_b = jnp.broadcast_to(txt_neg[None], (b, *txt_neg.shape))
+
+        if self.mesh is not None and b % self.mesh.shape.get("dp", 1) == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = NamedSharding(self.mesh, P("dp"))
+            noise_b = jax.device_put(noise_b, dp)
+            cond_b = jax.device_put(cond_b, dp)
+            txt_pos_b = jax.device_put(txt_pos_b, dp)
+            txt_neg_b = jax.device_put(txt_neg_b, dp)
+
+        out = fn(self.dit_params, noise_b, cond_b, txt_pos_b, txt_neg_b)
         return [out[i] for i in range(b)]

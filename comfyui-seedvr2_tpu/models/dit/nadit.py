@@ -53,18 +53,27 @@ class RopedGroup:
 @dataclass(frozen=True)
 class RopedLayerPlan:
     groups: Tuple[RopedGroup, ...]
-    inv: np.ndarray
+    inv: np.ndarray        # canonical[c] = window_major[inv[c]]
+    flat: np.ndarray       # window_major[j] = canonical[flat[j]]
     num_windows: int
 
 
 @dataclass(frozen=True)
 class DiTPlan:
-    """Static per-(T,H,W,txt_len) geometry for a jitted NaDiT forward."""
+    """Static per-(T,H,W,txt_len) geometry for a jitted NaDiT forward.
+
+    Tokens are kept in *window-major* order across the block stack: each
+    layer applies one composed permutation (previous layer's order -> this
+    layer's order) instead of a gather per q/k/v plus a scatter back —
+    profiling showed the per-layer permutation traffic dominates the
+    non-matmul time. `transitions[(a, b)]` holds the composed index arrays;
+    "canonical" is the raster token order of the patchified grid."""
 
     vid_shape: Tuple[int, int, int]   # pre-patch latent (T, H, W)
     grid: Tuple[int, int, int]        # post-patch token grid (Tp, Hp, Wp)
     txt_len: int
     layer_plans: Dict[str, RopedLayerPlan]
+    transitions: Dict[Tuple[str, str], np.ndarray]
     txt_cos: Optional[np.ndarray]
     txt_sin: Optional[np.ndarray]
 
@@ -98,16 +107,30 @@ def build_dit_plan(cfg: DiTConfig, vid_shape: Tuple[int, int, int],
             else:
                 cos = sin = None
             groups.append(RopedGroup(shape=g.shape, idx=g.idx, cos=cos, sin=sin))
+        flat = np.concatenate([g.idx.reshape(-1) for g in base.groups])
         layer_plans[method] = RopedLayerPlan(
-            groups=tuple(groups), inv=base.inv, num_windows=base.num_windows)
+            groups=tuple(groups), inv=base.inv, flat=flat.astype(np.int32),
+            num_windows=base.num_windows)
 
     if cfg.rope_type == "mmrope3d":
         txt_cos, txt_sin = rope_lib.mmrope3d_text_table(txt_len, cfg.rope_dim)
     else:
         txt_cos = txt_sin = None
 
+    # composed order transitions: wm_b = wm_a[inv_a[flat_b]]
+    transitions: Dict[Tuple[str, str], np.ndarray] = {}
+    methods = ("window", "shifted_window")
+    for m in methods:
+        transitions[("canonical", m)] = layer_plans[m].flat
+        transitions[(m, "canonical")] = layer_plans[m].inv
+    for a in methods:
+        for b in methods:
+            if a != b:
+                transitions[(a, b)] = layer_plans[a].inv[
+                    layer_plans[b].flat].astype(np.int32)
     return DiTPlan(vid_shape=vid_shape, grid=grid, txt_len=txt_len,
-                   layer_plans=layer_plans, txt_cos=txt_cos, txt_sin=txt_sin)
+                   layer_plans=layer_plans, transitions=transitions,
+                   txt_cos=txt_cos, txt_sin=txt_sin)
 
 
 # --------------------------------------------------------------------------
@@ -265,9 +288,10 @@ def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
                       layer_plan: RopedLayerPlan):
     """Joint windowed multi-modal attention for one block.
 
-    xv: (B, L, D) video tokens; xt: (B, Ltxt, D) text tokens.
-    Per window shape group: gather -> rope -> [vid | txt] joint attention ->
-    scatter vid, mean-coalesce txt over windows (na.py:396-417).
+    xv: (B, L, D) video tokens in *this layer's window-major order* (each
+    shape group is a contiguous slice — no gathers); xt: (B, Ltxt, D) text.
+    Per group: slice -> rope -> [vid | txt] joint flash attention; text
+    output is mean-coalesced over all windows (na.py:396-417).
     """
     B, L, _ = xv.shape
     Hn, Dh = cfg.heads, cfg.head_dim
@@ -294,16 +318,18 @@ def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
     vid_chunks = []
     txt_acc = jnp.zeros_like(qt, dtype=jnp.float32)
 
+    offset = 0
     for g in layer_plan.groups:
         n, wlen = g.idx.shape
-        flat = g.idx.reshape(-1)
+        size = n * wlen
 
-        def gather(x):
-            return jnp.take(x, flat, axis=1).reshape(B, n, wlen, Hn, Dh)
+        def window_slice(x):
+            return x[:, offset:offset + size].reshape(B, n, wlen, Hn, Dh)
 
-        qg = rope_lib.apply_rope(gather(qv), g.cos, g.sin)
-        kg = rope_lib.apply_rope(gather(kv), g.cos, g.sin)
-        vg = gather(vv)
+        qg = rope_lib.apply_rope(window_slice(qv), g.cos, g.sin)
+        kg = rope_lib.apply_rope(window_slice(kv), g.cos, g.sin)
+        vg = window_slice(vv)
+        offset += size
 
         def with_txt(win, txt):
             t = jnp.broadcast_to(txt[:, None], (B, n, ltxt, Hn, Dh))
@@ -315,11 +341,10 @@ def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
             with_txt(vg, vt).reshape(B * n, wlen + ltxt, Hn, Dh),
         ).reshape(B, n, wlen + ltxt, Hn, Dh)
 
-        vid_chunks.append(out[:, :, :wlen].reshape(B, n * wlen, Hn * Dh))
+        vid_chunks.append(out[:, :, :wlen].reshape(B, size, Hn * Dh))
         txt_acc = txt_acc + out[:, :, wlen:].astype(jnp.float32).sum(axis=1)
 
-    vid_cat = jnp.concatenate(vid_chunks, axis=1)
-    vid_out = jnp.take(vid_cat, layer_plan.inv, axis=1)
+    vid_out = jnp.concatenate(vid_chunks, axis=1)  # stays window-major
     txt_out = (txt_acc / layer_plan.num_windows).astype(xv.dtype)
     txt_out = txt_out.reshape(B, ltxt, Hn * Dh)
 
@@ -329,10 +354,17 @@ def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
 
 
 def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
-                   plan: DiTPlan):
-    """One NaMMSRTransformerBlock (mmsr_block.py:84-128)."""
+                   plan: DiTPlan, order: str = "canonical"):
+    """One NaMMSRTransformerBlock (mmsr_block.py:84-128).
+
+    xv arrives in `order` token order; the block permutes it once into this
+    layer's window-major order and returns it in that order (returned as the
+    third element). Residuals/norm/ada/mlp are order-independent."""
+    method = cfg.window_method(i)
+    if order != method:
+        xv = jnp.take(xv, plan.transitions[(order, method)], axis=1)
     vid_only = cfg.block_vid_only(i)
-    layer_plan = plan.layer_plans[cfg.window_method(i)]
+    layer_plan = plan.layer_plans[method]
     eps = cfg.norm_eps
 
     sa_v, ss_v, sg_v = (emb_attn[..., 0], emb_attn[..., 1], emb_attn[..., 2])
@@ -366,7 +398,7 @@ def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
         ht2 = mlp_forward(ht2, _pick(p_blk["mlp"], "txt"), cfg.mlp_type)
         ht2 = _ada_out(ht2, mg_v, ada_t, "mlp")
         xt = xt + ht2
-    return xv, xt
+    return xv, xt, method
 
 
 def patchify(vid: jnp.ndarray, patch_size) -> jnp.ndarray:
@@ -431,8 +463,12 @@ def nadit_forward(params, cfg: DiTConfig, vid: jnp.ndarray, txt: jnp.ndarray,
     emb_r = emb.reshape(B, cfg.vid_dim, 2, 3).astype(jnp.float32)
     emb_attn, emb_mlp = emb_r[..., 0, :], emb_r[..., 1, :]
 
+    order = "canonical"
     for i, p_blk in enumerate(params["blocks"]):
-        x, xt = _block_forward(p_blk, cfg, i, x, xt, emb_attn, emb_mlp, plan)
+        x, xt, order = _block_forward(p_blk, cfg, i, x, xt, emb_attn,
+                                      emb_mlp, plan, order)
+    if order != "canonical":
+        x = jnp.take(x, plan.transitions[(order, "canonical")], axis=1)
 
     if cfg.vid_out_norm:
         x = rms_norm(x, cfg.norm_eps, params["vid_out_norm"]["weight"])

@@ -54,6 +54,10 @@ class VideoVAE:
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
+        # output-space tile rectangles of the last tiled call, for the
+        # --tile_debug overlay (reference: debug.encode/decode_tile_boundaries)
+        self.last_encode_tiles = []
+        self.last_decode_tiles = []
 
         cfg_ = cfg
 
@@ -140,6 +144,7 @@ class VideoVAE:
 
         result = jnp.zeros((B, Tl, H_lat, W_lat, lat), dtype=jnp.float32)
         count = jnp.zeros((1, 1, H_lat, W_lat, 1), dtype=jnp.float32)
+        self.last_encode_tiles = []
 
         for y in range(0, H_lat, stride_h):
             y_end = min(y + lt_h, H_lat)
@@ -149,6 +154,8 @@ class VideoVAE:
                 x_end = min(xx + lt_w, W_lat)
                 if xx > 0 and (x_end - xx) <= lo_w:
                     continue
+                self.last_encode_tiles.append(
+                    (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf))
                 crop = x[:, :, y * sf: min(y_end * sf, H),
                          xx * sf: min(x_end * sf, W)]
                 tile = self._sliced_encode(crop)[..., :lat].astype(jnp.float32)
@@ -184,6 +191,7 @@ class VideoVAE:
 
         result = jnp.zeros((B, T, H, W, 3), dtype=jnp.float32)
         count = jnp.zeros((1, 1, H, W, 1), dtype=jnp.float32)
+        self.last_decode_tiles = []
 
         for y in range(0, h, stride_h):
             y_end = min(y + lt_h, h)
@@ -193,6 +201,8 @@ class VideoVAE:
                 x_end = min(xx + lt_w, w)
                 if xx > 0 and (x_end - xx) <= lo_w:
                     continue
+                self.last_decode_tiles.append(
+                    (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf))
                 tile = self._sliced_decode(
                     z[:, :, y:y_end, xx:x_end]).astype(jnp.float32)
                 yo, yo_end = y * sf, y_end * sf

@@ -75,16 +75,18 @@ class StreamedNaDiT:
 
         self._block_fns: Dict[Tuple, callable] = {}
 
-    def _block_fn(self, i: int, plan: DiTPlan):
+    def _block_fn(self, i: int, plan: DiTPlan, order: str):
         cfg = self.cfg
         key = (cfg.block_shared(i), cfg.block_vid_only(i),
-               cfg.window_method(i), plan.grid, plan.txt_len)
+               cfg.window_method(i), order, plan.grid, plan.txt_len)
         if key not in self._block_fns:
 
             @jax.jit
             def fn(p_blk, xv, xt, emb_attn, emb_mlp):
-                return _block_forward(p_blk, cfg, i, xv, xt, emb_attn,
-                                      emb_mlp, plan)
+                out_v, out_t, _ = _block_forward(p_blk, cfg, i, xv, xt,
+                                                 emb_attn, emb_mlp, plan,
+                                                 order)
+                return out_v, out_t
 
             self._block_fns[key] = fn
         return self._block_fns[key]
@@ -106,6 +108,7 @@ class StreamedNaDiT:
         n_host = len(self.host_blocks)
         pending = (jax.device_put(self.host_blocks[0], self.device)
                    if n_host else None)
+        order = "canonical"
         for i in range(cfg.num_layers):
             if i < self.keep_blocks:
                 blk = self.resident[i]
@@ -117,7 +120,11 @@ class StreamedNaDiT:
                     pending = jax.device_put(self.host_blocks[hi + 1],
                                              self.device)
                 self.stats.record((time.perf_counter() - t0) * 1000.0)
-            x, xt = self._block_fn(i, plan)(blk, x, xt, emb_attn, emb_mlp)
+            x, xt = self._block_fn(i, plan, order)(blk, x, xt, emb_attn,
+                                                   emb_mlp)
+            order = cfg.window_method(i)
+        if order != "canonical":
+            x = jnp.take(x, plan.transitions[(order, "canonical")], axis=1)
 
         if cfg.vid_out_norm:
             x = rms_norm(x, cfg.norm_eps, params["vid_out_norm"]["weight"])

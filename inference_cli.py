@@ -74,6 +74,8 @@ def parse_arguments():
     v.add_argument("--vae_decode_tiled", action="store_true")
     v.add_argument("--vae_decode_tile_size", type=int, default=1024)
     v.add_argument("--vae_decode_tile_overlap", type=int, default=128)
+    v.add_argument("--tile_debug", type=str, default="false",
+                   choices=["false", "encode", "decode"])
 
     perf = p.add_argument_group("Performance")
     perf.add_argument("--attention_mode", type=str, default="flash",
@@ -129,7 +131,8 @@ def process_frames(runner, frames: np.ndarray, args, debug,
         frames = pipeline.pad_video_temporal(frames, count=prepend_frames,
                                              prepend=True)
     ctx = pipeline.setup_generation_context(debug=debug,
-                                            model_dir=args.model_dir)
+                                            model_dir=args.model_dir,
+                                            tile_debug=args.tile_debug)
     ctx["text_embeds"] = load_text_embeddings(
         [args.model_dir, os.path.dirname(os.path.abspath(__file__))], debug)
     with debug.profile("phase1_encode"):

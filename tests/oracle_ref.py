@@ -347,6 +347,33 @@ def _install_diffusers_vae_stub():
     _mod("diffusers.utils.accelerate_utils").apply_forward_hook = apply_forward_hook
 
 
+def _install_omegaconf_stub():
+    """refsrc.common.diffusion.config annotates with DictConfig/ListConfig."""
+    if "omegaconf" in sys.modules:
+        return
+    mod = types.ModuleType("omegaconf")
+
+    class DictConfig(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+    class ListConfig(list):
+        pass
+
+    class OmegaConf:
+        @staticmethod
+        def create(obj=None):
+            return DictConfig(obj or {})
+
+    mod.DictConfig = DictConfig
+    mod.ListConfig = ListConfig
+    mod.OmegaConf = OmegaConf
+    sys.modules["omegaconf"] = mod
+
+
 def _install_torchvision_stub():
     """color_fix imports ToTensor/ToPILImage (unused in the tensor paths)."""
     if "torchvision" in sys.modules:
@@ -371,6 +398,7 @@ def load_reference_src():
     _install_diffusers_stub()
     _install_diffusers_vae_stub()
     _install_torchvision_stub()
+    _install_omegaconf_stub()
     if "refsrc" in sys.modules:
         return sys.modules["refsrc"]
     spec = importlib.util.spec_from_file_location(

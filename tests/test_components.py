@@ -123,3 +123,31 @@ def test_mesh_dp_inference_matches_single_device():
         sharded = np.asarray(fn(sp, vid_s, txt_s, t_s))
 
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-4)
+
+
+def test_runner_dp_mesh_batched_inference():
+    """attach_mesh + batched inference over dp must equal single-device."""
+    from seedvr2_tpu.core.configs import RunnerConfig, VAEConfig
+    from seedvr2_tpu.core.runner import VideoDiffusionRunner
+    from seedvr2_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg()
+    params = init_dit_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    runner = VideoDiffusionRunner(
+        params, cfg, None, RunnerConfig(dit=cfg, vae=VAEConfig()),
+        compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    noises = [jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)
+              for _ in range(8)]
+    conds = [runner.get_condition(n, n) for n in noises]
+    txt = [np.asarray(rng.standard_normal((5, 16)), np.float32)]
+
+    single = runner.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+
+    runner.attach_mesh(make_mesh(8, axis_names=("dp",)))
+    sharded = runner.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+
+    for s, r in zip(sharded, single):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
