@@ -28,6 +28,23 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def save_train_state(state: TrainState, path: str):
+    """Checkpoint the training state (orbax; sharding-aware)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state._asdict(), force=True)
+
+
+def restore_train_state(path: str, template: TrainState) -> TrainState:
+    """Restore onto the template's shardings/dtypes."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template._asdict())
+    return TrainState(**restored)
+
+
 def make_train_step(cfg: DiTConfig, plan: DiTPlan, mesh: Mesh,
                     learning_rate: float = 1e-4, T: float = 1000.0):
     """Build (init_state, train_step) for flow-matching training.

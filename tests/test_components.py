@@ -151,3 +151,29 @@ def test_runner_dp_mesh_batched_inference():
     for s, r in zip(sharded, single):
         np.testing.assert_allclose(np.asarray(s), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    """orbax save/restore of the sharded training state."""
+    from seedvr2_tpu.models.dit.nadit import build_dit_plan
+    from seedvr2_tpu.parallel.mesh import make_mesh
+    from seedvr2_tpu.parallel.train import (make_train_step,
+                                            restore_train_state,
+                                            save_train_state)
+
+    cfg = _tiny_cfg()
+    plan = build_dit_plan(cfg, (1, 4, 4), 5)
+    mesh = make_mesh(8)
+    params = init_dit_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
+    with mesh:
+        init_state, _ = make_train_step(cfg, plan, mesh)
+        state = init_state(params)
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(state, path)
+    restored = restore_train_state(path, state)
+    orig = jax.tree.leaves(state.params)
+    back = jax.tree.leaves(restored.params)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
