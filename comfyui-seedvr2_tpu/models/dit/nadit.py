@@ -46,7 +46,9 @@ from .windows import LayerPlan, build_layer_plan
 class RopedGroup:
     shape: Tuple[int, int, int]
     idx: np.ndarray        # (n, wlen) int32
-    cos: Optional[np.ndarray]  # (wlen, rot) fp32
+    # extended rope tables (wlen + txt_len, head_dim) fp32 with identity rows
+    # for text/pad positions — consumed fused inside the attention kernel
+    cos: Optional[np.ndarray]
     sin: Optional[np.ndarray]
 
 
@@ -106,6 +108,12 @@ def build_dit_plan(cfg: DiTConfig, vid_shape: Tuple[int, int, int],
                 cos, sin = rope_lib.rope3d_pixel_table(g.shape, cfg.rope_dim)
             else:
                 cos = sin = None
+            if cos is not None:
+                # extend to head_dim + identity rows for the appended text
+                # tokens (3B text is pre-rotated with its own 1D tables;
+                # 7B text is not rotated at all)
+                cos, sin = rope_lib.extend_tables(cos, sin, cfg.head_dim,
+                                                  extra_rows=txt_len)
             groups.append(RopedGroup(shape=g.shape, idx=g.idx, cos=cos, sin=sin))
         flat = np.concatenate([g.idx.reshape(-1) for g in base.groups])
         layer_plans[method] = RopedLayerPlan(
@@ -326,19 +334,20 @@ def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
         def window_slice(x):
             return x[:, offset:offset + size].reshape(B, n, wlen, Hn, Dh)
 
-        qg = rope_lib.apply_rope(window_slice(qv), g.cos, g.sin)
-        kg = rope_lib.apply_rope(window_slice(kv), g.cos, g.sin)
-        vg = window_slice(vv)
+        qg, kg, vg = window_slice(qv), window_slice(kv), window_slice(vv)
         offset += size
 
         def with_txt(win, txt):
             t = jnp.broadcast_to(txt[:, None], (B, n, ltxt, Hn, Dh))
             return jnp.concatenate([win, t], axis=2)
 
+        # video rope is fused into the attention kernel via extended tables
+        # (identity rows pass the pre-rotated/unrotated text through)
         out = attention(
             with_txt(qg, qt).reshape(B * n, wlen + ltxt, Hn, Dh),
             with_txt(kg, kt).reshape(B * n, wlen + ltxt, Hn, Dh),
             with_txt(vg, vt).reshape(B * n, wlen + ltxt, Hn, Dh),
+            rope_cos=g.cos, rope_sin=g.sin,
         ).reshape(B, n, wlen + ltxt, Hn, Dh)
 
         vid_chunks.append(out[:, :, :wlen].reshape(B, size, Hn * Dh))

@@ -88,6 +88,35 @@ def rope3d_pixel_table(window_shape: Tuple[int, int, int], rope_dim: int,
     return np.cos(full).astype(np.float32), np.sin(full).astype(np.float32)
 
 
+def extend_tables(cos: np.ndarray, sin: np.ndarray, head_dim: int,
+                  extra_rows: int = 0):
+    """Extend (S, rot) tables to (S + extra_rows, head_dim) with identity
+    (cos=1, sin=0) in the padded dims/rows. With identity entries, applying
+    rotation full-width is a no-op there — this lets the flash kernel rope
+    video tokens and pass text/pad tokens through with one table."""
+    s, rot = cos.shape
+    cos_e = np.ones((s + extra_rows, head_dim), np.float32)
+    sin_e = np.zeros((s + extra_rows, head_dim), np.float32)
+    cos_e[:s, :rot] = cos
+    sin_e[:s, :rot] = sin
+    return cos_e, sin_e
+
+
+def rotate_half_full(x: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved-pair rotate-half over the full last dim (must be even)."""
+    xr = x.reshape(*x.shape[:-1], -1, 2)
+    return jnp.stack([-xr[..., 1], xr[..., 0]], axis=-1).reshape(x.shape)
+
+
+def apply_rope_ext(x: jnp.ndarray, cos_e, sin_e) -> jnp.ndarray:
+    """Full-width rotation with extended tables. x: (..., S, H, D);
+    cos_e/sin_e: (S, D) fp32 (identity rows/dims pass through)."""
+    x32 = x.astype(jnp.float32)
+    c = jnp.asarray(cos_e)[..., :, None, :]
+    s = jnp.asarray(sin_e)[..., :, None, :]
+    return (x32 * c + rotate_half_full(x32) * s).astype(x.dtype)
+
+
 def apply_rope(x: jnp.ndarray, cos: Optional[jnp.ndarray],
                sin: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Rotate the leading `rot_dim` channels of x.

@@ -41,11 +41,22 @@ def _flash_available() -> bool:
         return False
 
 
-def attention(q, k, v, scale=None, use_flash: bool = True):
-    """Dispatch to the Pallas flash kernel when profitable, else XLA."""
+def attention(q, k, v, scale=None, use_flash: bool = True,
+              rope_cos=None, rope_sin=None):
+    """Dispatch to the Pallas flash kernel when profitable, else XLA.
+
+    rope_cos/rope_sin: optional (S, D) extended tables (identity rows for
+    non-rotated positions); fused into the kernel on TPU, applied as a
+    separate fp32 pass on the XLA fallback."""
     if use_flash and _flash_available():
         from .flash_attention import flash_attention, flash_supported
 
         if flash_supported(q, k, v):
-            return flash_attention(q, k, v, scale=scale)
+            return flash_attention(q, k, v, scale=scale,
+                                   rope_cos=rope_cos, rope_sin=rope_sin)
+    if rope_cos is not None:
+        from ..models.dit.rope import apply_rope_ext
+
+        q = apply_rope_ext(q, rope_cos, rope_sin)
+        k = apply_rope_ext(k, rope_cos, rope_sin)
     return attention_xla(q, k, v, scale=scale)

@@ -43,8 +43,21 @@ def _head_group(h: int) -> int:
     return 1
 
 
+def _rot_half(x: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel interleaved rotate-half: (2i, 2i+1) -> (-x[2i+1], x[2i]),
+    expressed as lane rolls + parity select (no sub-lane reshapes)."""
+    d = x.shape[1]
+    fwd = pltpu.roll(x, 1, axis=1)        # x[j-1] at lane j
+    bwd = pltpu.roll(x, d - 1, axis=1)    # x[j+1] at lane j (shift must be >=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane % 2 == 0, -bwd, fwd)
+
+
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-               block_k: int, num_k_blocks: int, hb: int, d: int):
+               block_k: int, num_k_blocks: int, hb: int, d: int,
+               block_q: int):
+    """Online-softmax attention for `hb` heads; optional fused RoPE when the
+    kernel is built with rope refs (see _fa_rope_kernel wrapper)."""
     for h in range(hb):
         q = q_ref[0, :, pl.ds(h * d, d)].astype(jnp.float32) * scale  # (bq,d)
         bq = q.shape[0]
@@ -78,8 +91,59 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
         o_ref[0, :, pl.ds(h * d, d)] = (acc / l).astype(o_ref.dtype)
 
 
-def flash_attention(q, k, v, scale=None):
-    """q: (..., Sq, H, D); k, v: (..., Sk, H, D) -> (..., Sq, H, D)."""
+def _fa_rope_kernel(cos_ref, sin_ref, q_ref, k_ref, v_ref, o_ref, *,
+                    scale: float, kv_len: int, block_k: int,
+                    num_k_blocks: int, hb: int, d: int, block_q: int):
+    """Flash attention with RoPE fused into the q/k loads: tables (S, d) fp32
+    with identity rows for text/pad positions, so rotation applies uniformly.
+    Eliminates the fp32 roped-q/k HBM round trip (profiled at ~15% of the
+    DiT step)."""
+    qb = pl.program_id(2)
+    cos_q = cos_ref[pl.ds(qb * block_q, block_q), :]
+    sin_q = sin_ref[pl.ds(qb * block_q, block_q), :]
+    for h in range(hb):
+        q = q_ref[0, :, pl.ds(h * d, d)].astype(jnp.float32)
+        q = (q * cos_q + _rot_half(q) * sin_q) * scale
+        bq = q.shape[0]
+        m = jnp.full((bq, 1), -jnp.inf, dtype=jnp.float32)
+        l = jnp.zeros((bq, 1), dtype=jnp.float32)
+        acc = jnp.zeros((bq, d), dtype=jnp.float32)
+
+        for kb in range(num_k_blocks):
+            kblk = k_ref[0, pl.ds(kb * block_k, block_k),
+                         pl.ds(h * d, d)].astype(jnp.float32)
+            cos_k = cos_ref[pl.ds(kb * block_k, block_k), :]
+            sin_k = sin_ref[pl.ds(kb * block_k, block_k), :]
+            kblk = kblk * cos_k + _rot_half(kblk) * sin_k
+            vblk = v_ref[0, pl.ds(kb * block_k, block_k), pl.ds(h * d, d)]
+            s = jax.lax.dot_general(
+                q, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if (kb + 1) * block_k > kv_len:
+                col = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, dimension=1)
+                s = jnp.where(col < kv_len, s, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jax.lax.dot_general(
+                p, vblk.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+
+        o_ref[0, :, pl.ds(h * d, d)] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention(q, k, v, scale=None, rope_cos=None, rope_sin=None):
+    """q: (..., Sq, H, D); k, v: (..., Sk, H, D) -> (..., Sq, H, D).
+
+    rope_cos/rope_sin: optional (S, D) fp32 extended tables
+    (models/dit/rope.py extend_tables) applied to q and k inside the kernel
+    (Sq must equal Sk for the fused-rope path)."""
     d = q.shape[-1]
     h = q.shape[-2]
     sq, sk = q.shape[-3], k.shape[-3]
@@ -110,21 +174,40 @@ def flash_attention(q, k, v, scale=None):
         block_k //= 2
     hd = hb * d
 
-    kernel = functools.partial(
-        _fa_kernel, scale=scale, kv_len=sk, block_k=block_k,
-        num_k_blocks=sk_pad // block_k, hb=hb, d=d,
-    )
+    use_rope = rope_cos is not None
+    kern_args = dict(scale=scale, kv_len=sk, block_k=block_k,
+                     num_k_blocks=sk_pad // block_k, hb=hb, d=d,
+                     block_q=block_q)
+    data_specs = [
+        pl.BlockSpec((1, block_q, hd), lambda i, j, qb: (i, qb, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk_pad, hd), lambda i, j, qb: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk_pad, hd), lambda i, j, qb: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if use_rope:
+        assert sq == sk, "fused-rope path is self-attention only"
+        cos = jnp.asarray(rope_cos, jnp.float32)
+        sin = jnp.asarray(rope_sin, jnp.float32)
+        if cos.shape[0] != sk_pad:  # identity rows for the lane padding
+            cos = jnp.pad(cos, ((0, sk_pad - cos.shape[0]), (0, 0)),
+                          constant_values=1.0)
+            sin = jnp.pad(sin, ((0, sk_pad - sin.shape[0]), (0, 0)))
+        kernel = functools.partial(_fa_rope_kernel, **kern_args)
+        table_spec = pl.BlockSpec((sk_pad, d), lambda i, j, qb: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs = [table_spec, table_spec] + data_specs
+        operands = (cos, sin, q3, k3, v3)
+    else:
+        kernel = functools.partial(_fa_kernel, **kern_args)
+        in_specs = data_specs
+        operands = (q3, k3, v3)
+
     out = pl.pallas_call(
         kernel,
         grid=(b, h // hb, sq_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda i, j, qb: (i, qb, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, hd), lambda i, j, qb: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, hd), lambda i, j, qb: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j, qb: (i, qb, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, sq_pad, h * d), q.dtype),
@@ -136,6 +219,6 @@ def flash_attention(q, k, v, scale=None):
             bytes_accessed=(q3.size + k3.size + v3.size) * 2,
             transcendentals=b * h * sq_pad * sk_pad,
         ),
-    )(q3, k3, v3)
+    )(*operands)
     out = out[:, :sq]
     return out.reshape((*batch_shape, sq, h, d))

@@ -177,3 +177,23 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_yaml_config_ingestion():
+    """Parse the actual reference YAMLs (OmegaConf format w/ eval resolver)."""
+    from seedvr2_tpu.core.config_yaml import (dit_config_from_yaml,
+                                              vae_config_from_yaml)
+
+    cfg3 = dit_config_from_yaml("/root/reference/configs_3b/main.yaml")
+    assert (cfg3.vid_dim, cfg3.heads, cfg3.num_layers) == (2560, 20, 32)
+    assert cfg3.mlp_type == "swiglu" and cfg3.mm_layers == 10
+    assert cfg3.window == (4, 3, 3) and cfg3.vid_out_norm
+
+    cfg7 = dit_config_from_yaml("/root/reference/configs_7b/main.yaml")
+    assert (cfg7.vid_dim, cfg7.heads, cfg7.num_layers) == (3072, 24, 36)
+    assert cfg7.mlp_type == "normal" and not cfg7.vid_out_norm
+
+    vae = vae_config_from_yaml(
+        "/root/reference/src/models/video_vae_v3/s8_c16_t4_inflation_sd3.yaml")
+    assert vae.block_out_channels == (128, 256, 512, 512)
+    assert vae.latent_channels == 16
