@@ -46,6 +46,7 @@ def pair():
 
     cfg = VAEConfig(block_out_channels=CH, layers_per_block=1,
                     latent_channels=LATENT, norm_num_groups=GROUPS)
+    ref.debug = None  # reference tiled paths read self.debug (set by its pipeline)
     params = torch_module_to_params(ref, dtype=jnp.float32)
     vae = VideoVAE(params, cfg, dtype=jnp.float32)
     return ref, vae
@@ -122,3 +123,45 @@ def test_tiled_encode_close_to_untiled(pair):
     assert tiled.shape == full.shape
     diff = np.abs(tiled - full).mean()
     assert diff < 0.15, f"tiled encode diverged: mean|diff|={diff}"
+
+
+def test_tiled_encode_parity_vs_reference(pair):
+    """Tiled encode vs the reference tiled_encode (cosine fades, accumulate/
+    normalize, latent-space tile math)."""
+    ref, vae = pair
+    ref.set_causal_slicing(split_size=4, memory_device="same")
+    rng = np.random.default_rng(7)
+    T, H, W = 1, 96, 96
+    x = rng.uniform(-1, 1, (1, 3, T, H, W)).astype(np.float32)
+
+    with torch.no_grad():
+        lat_ref = ref.encode(torch.from_numpy(x), tiled=True,
+                             tile_size=(64, 64),
+                             tile_overlap=(16, 16)).latent.numpy()
+    lat_jax = np.asarray(vae.encode(
+        jnp.asarray(x.transpose(0, 2, 3, 4, 1)), tiled=True,
+        tile_size=(64, 64), tile_overlap=(16, 16)))
+    lat_jax = lat_jax.transpose(0, 4, 1, 2, 3)
+    # reference squeezes the temporal dim for single frames
+    if lat_ref.ndim == 4:
+        lat_ref = lat_ref[:, :, None]
+    np.testing.assert_allclose(lat_jax, lat_ref, rtol=3e-3, atol=3e-3)
+
+
+def test_tiled_decode_parity_vs_reference(pair):
+    ref, vae = pair
+    ref.set_causal_slicing(split_size=4, memory_device="same")
+    rng = np.random.default_rng(8)
+    z = rng.standard_normal((1, LATENT, 1, 16, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref.decode(torch.from_numpy(z), tiled=True,
+                             tile_size=(96, 96),
+                             tile_overlap=(32, 32)).sample.numpy()
+    out_jax = np.asarray(vae.decode(
+        jnp.asarray(z.transpose(0, 2, 3, 4, 1)), tiled=True,
+        tile_size=(96, 96), tile_overlap=(32, 32)))
+    out_jax = out_jax.transpose(0, 4, 1, 2, 3)
+    if out_ref.ndim == 4:
+        out_ref = out_ref[:, :, None]
+    np.testing.assert_allclose(out_jax, out_ref, rtol=5e-3, atol=5e-3)
