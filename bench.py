@@ -30,7 +30,7 @@ def main():
     enable_persistent_cache()
 
     from seedvr2_tpu.core.configs import DIT_3B, RunnerConfig
-    from seedvr2_tpu.models.dit.nadit import build_dit_plan, init_dit_params
+    from seedvr2_tpu.models.dit.nadit import init_dit_params
     from seedvr2_tpu.core.runner import VideoDiffusionRunner
 
     on_tpu = jax.default_backend() == "tpu"
@@ -52,7 +52,6 @@ def main():
     key = jax.random.PRNGKey(0)
     params = init_dit_params(key, cfg, dtype=jnp.bfloat16)
 
-    from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE  # noqa: F401
     runner = VideoDiffusionRunner(params, cfg, vae=None,
                                   config=RunnerConfig(dit=cfg))
 

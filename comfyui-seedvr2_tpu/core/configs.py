@@ -8,7 +8,7 @@ build has a closed set of model families.
 """
 
 from dataclasses import dataclass, field, replace
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)

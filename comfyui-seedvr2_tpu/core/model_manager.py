@@ -17,14 +17,12 @@ import os
 import re
 from typing import Any, Dict, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..models.vae.pipeline_vae import VideoVAE
 from ..utils.debug import NULL_DEBUG, Debug
 from ..utils.dtypes import COMPUTE_DTYPE
-from .configs import (DIT_3B, DIT_7B, DiTConfig, RunnerConfig, VAEConfig,
-                      VAE_V3, dit_config_for)
+from .configs import DiTConfig, RunnerConfig, VAE_V3, dit_config_for
 from .loader import convert_state_dict
 from .model_cache import get_global_cache
 from .runner import VideoDiffusionRunner

@@ -15,8 +15,7 @@ Batch index math matches the reference exactly:
  - prepend-frame removal at the end.
 """
 
-import math
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

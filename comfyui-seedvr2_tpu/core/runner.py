@@ -8,14 +8,13 @@ happen inside the jitted paths; host<->HBM transfers occur only at phase
 boundaries.
 """
 
-import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.dit.nadit import DiTPlan, build_dit_plan, nadit_forward
+from ..models.dit.nadit import build_dit_plan, nadit_forward
 from ..models.vae.pipeline_vae import VideoVAE
 from ..utils.debug import NULL_DEBUG, Debug
 from ..utils.dtypes import COMPUTE_DTYPE

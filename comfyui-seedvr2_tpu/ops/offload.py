@@ -13,9 +13,8 @@ on small-HBM parts); configure via StreamedNaDiT(keep_blocks=N) to pin the
 first N blocks in HBM permanently.
 """
 
-import functools
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

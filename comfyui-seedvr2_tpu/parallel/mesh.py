@@ -14,7 +14,6 @@ Axes:
          answer to the reference's Ulysses head-scatter, ops.py:190-318).
 """
 
-import math
 from typing import Optional, Sequence
 
 import jax

@@ -14,12 +14,12 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..core import diffusion
 from ..core.configs import DiTConfig
-from ..models.dit.nadit import DiTPlan, build_dit_plan, nadit_forward
-from .mesh import batch_sharding, param_sharding, shard_params
+from ..models.dit.nadit import DiTPlan, nadit_forward
+from .mesh import shard_params
 
 
 class TrainState(NamedTuple):

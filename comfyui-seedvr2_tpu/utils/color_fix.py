@@ -14,7 +14,7 @@ TPU notes vs the reference:
 """
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ divergence, PSNR-irrelevant for upscaling where the resize is an upsample).
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

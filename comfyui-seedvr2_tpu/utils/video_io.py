@@ -5,7 +5,7 @@ float32 [0,1] THWC frames, streaming reads with skip/cap, incremental MP4
 writes, PNG round-trip with alpha."""
 
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
