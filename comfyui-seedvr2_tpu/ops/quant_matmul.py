@@ -111,6 +111,32 @@ def quantize_q8(w: jnp.ndarray):
     return q.reshape(n, k), scales
 
 
+def quantize_dit_params(params: dict, min_dim: int = 1024) -> dict:
+    """Post-training Q8_0 quantization of a DiT parameter tree: every linear
+    "w" with both dims >= min_dim becomes {"q8", "scales"} (the fused-kernel
+    serving format). Small/IO projections stay bf16, mirroring the published
+    GGUF checkpoints which keep sensitive layers in fp16."""
+    import jax
+
+    def convert(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 2:
+                w = node["w"]
+                k, n = w.shape
+                if min(k, n) >= min_dim and k % GROUP == 0:
+                    q, s = quantize_q8(jnp.asarray(w, jnp.float32).T)
+                    out = {"q8": q, "scales": s}
+                    if "b" in node:
+                        out["b"] = node["b"]
+                    return out
+            return {k: convert(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [convert(v) for v in node]
+        return node
+
+    return convert(params)
+
+
 def quant_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """linear() counterpart for quantized params {"q8", "scales", "b"?}.
     x: (..., K)."""

@@ -54,3 +54,22 @@ def test_quant_linear_routing():
                                block_n=32, block_k=64, interpret=True)
     out = np.asarray(out_flat).reshape(4, 7, 32) + np.asarray(b)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_dit_params_structure():
+    from seedvr2_tpu.core.configs import small_test_config
+    from seedvr2_tpu.models.dit.nadit import init_dit_params
+    from seedvr2_tpu.ops.quant_matmul import quantize_dit_params
+
+    cfg = small_test_config(vid_dim=64, heads=2, head_dim=32, num_layers=2)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qparams = quantize_dit_params(params, min_dim=64)
+    blk = qparams["blocks"][0]["attn"]["proj_qkv"]
+    branch = blk.get("all") or blk.get("vid")
+    assert "q8" in branch and "scales" in branch
+    n, k = branch["q8"].shape
+    assert branch["scales"].shape == (n, k // 32)
+    # small/IO layers stay dense (vid_in proj has a sub-threshold in-dim)
+    assert "w" in qparams["vid_in"]["proj"]
+    # 1D norm params untouched
+    assert "weight" in qparams["vid_out_norm"]
