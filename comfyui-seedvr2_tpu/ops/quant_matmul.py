@@ -32,8 +32,10 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc, *, n_k: int):
         acc[:] = jnp.zeros_like(acc)
 
     q = q_ref[:].astype(jnp.float32)          # (bn, bk)
-    s = s_ref[:].astype(jnp.float32)          # (bn, bk // GROUP)
     bn, bk = q.shape
+    # scales ref holds the full-K rows for this n block (the per-k-block
+    # slice (bn, bk//32) would violate the (8,128) tile rule); slice here
+    s = s_ref[:, pl.ds(k_idx * (bk // GROUP), bk // GROUP)].astype(jnp.float32)
     w = (q.reshape(bn, bk // GROUP, GROUP) * s[:, :, None]).reshape(bn, bk)
     acc[:] += jax.lax.dot_general(
         x_ref[:].astype(jnp.float32), w,
@@ -79,8 +81,8 @@ def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, block_k), lambda i, j, kk: (j, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, block_k // GROUP),
-                         lambda i, j, kk: (j, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, k_pad // GROUP),
+                         lambda i, j, kk: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),

@@ -120,3 +120,21 @@ def test_detect_input_type(tmp_path):
     q = tmp_path / "x.png"
     q.touch()
     assert video_io.detect_input_type(str(q)) == "image"
+
+
+def test_cli_directory_input(tmp_path, patched_cli):
+    rng = np.random.default_rng(3)
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(3):
+        video_io.write_image(str(d / f"f_{i:03d}.png"),
+                             rng.uniform(0, 1, (20, 24, 3)).astype(np.float32))
+    out_path = tmp_path / "out.mp4"
+    args = _args(d, out_path)
+    from seedvr2_tpu.utils.debug import Debug
+
+    patched_cli.process_directory(args, Debug())
+    assert out_path.exists()
+    reader = video_io.VideoReader(str(out_path))
+    assert reader.total == 3
+    reader.close()
