@@ -344,10 +344,13 @@ def read_gguf(path: str, keep_q8: bool = False
             if keep_q8 and ttype == Q8_0 and len(dims) == 2 \
                     and dims[0] % QK == 0:
                 blocks = raw.reshape(-1, 34)
+                # torch layout (out, in) -> kernel layout (in, out):
+                # q (K, N) int8, scales (K//32, N) (ops/quant_matmul.py)
                 q = blocks[:, 2:].view(np.int8).reshape(torch_shape)
                 scales = blocks[:, :2].copy().view(np.float16).astype(
                     np.float32).reshape(torch_shape[0], torch_shape[1] // QK)
-                tensors[name] = {"q8": q, "scales": scales}
+                tensors[name] = {"q8": np.ascontiguousarray(q.T),
+                                 "scales": np.ascontiguousarray(scales.T)}
                 continue
             flat = dequantize(raw, ttype, n_elem)
             # gguf dims are innermost-first; torch layout is the reverse

@@ -6,8 +6,9 @@ instead keeps Q8_0 weights as int8 + per-32-group scales in HBM and fuses
 dequantization into the matmul's K-loop: weight HBM traffic is halved vs
 bf16, and the dequant (VPU) overlaps the MXU dot.
 
-Weight layout matches GGUF/torch: q (out, in) int8, scales (out, in/32)
-(block axis along `in`, the GGUF innermost dim). Compute: out = x @ w^T.
+Storage layout (all lane-tileable on TPU):
+  q:      (K, N) int8   — matmul-ready (x @ w orientation)
+  scales: (K // 32, N) float32 — GGUF Q8_0 block axis runs along K
 """
 
 import functools
@@ -31,15 +32,13 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc, *, n_k: int):
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    q = q_ref[:].astype(jnp.float32)          # (bn, bk)
-    bn, bk = q.shape
-    # scales ref holds the full-K rows for this n block (the per-k-block
-    # slice (bn, bk//32) would violate the (8,128) tile rule); slice here
-    s = s_ref[:, pl.ds(k_idx * (bk // GROUP), bk // GROUP)].astype(jnp.float32)
-    w = (q.reshape(bn, bk // GROUP, GROUP) * s[:, :, None]).reshape(bn, bk)
+    q = q_ref[:].astype(jnp.float32)          # (bk, bn)
+    s = s_ref[:].astype(jnp.float32)          # (bk // GROUP, bn)
+    bk, bn = q.shape
+    w = (q.reshape(bk // GROUP, GROUP, bn) * s[:, None, :]).reshape(bk, bn)
     acc[:] += jax.lax.dot_general(
         x_ref[:].astype(jnp.float32), w,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -53,23 +52,24 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc, *, n_k: int):
 def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
                     block_m: int = 256, block_n: int = 512,
                     block_k: int = 512, interpret: bool = False):
-    """x: (M, K) bf16; q: (N, K) int8; scales: (N, K//32) -> (M, N) x.dtype."""
+    """x: (M, K) bf16; q: (K, N) int8; scales: (K//32, N) -> (M, N) x.dtype."""
     m, k = x.shape
-    n = q.shape[0]
-    assert q.shape[1] == k and scales.shape == (n, k // GROUP)
+    n = q.shape[1]
+    assert q.shape[0] == k and scales.shape == (k // GROUP, n)
 
+    block_m = min(block_m, _round_up(m, 8))
     m_pad = _round_up(m, block_m)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     n_pad = _round_up(n, block_n)
     if n_pad != n:
-        q = jnp.pad(q, ((0, n_pad - n), (0, 0)))
-        scales = jnp.pad(scales, ((0, n_pad - n), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
+        scales = jnp.pad(scales, ((0, 0), (0, n_pad - n)))
     k_pad = _round_up(k, block_k)
     if k_pad != k:
         x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
-        q = jnp.pad(q, ((0, 0), (0, k_pad - k)))
-        scales = jnp.pad(scales, ((0, 0), (0, (k_pad - k) // GROUP)))
+        q = jnp.pad(q, ((0, k_pad - k), (0, 0)))
+        scales = jnp.pad(scales, ((0, (k_pad - k) // GROUP), (0, 0)))
 
     n_k = k_pad // block_k
     grid = (m_pad // block_m, n_pad // block_n, n_k)
@@ -79,10 +79,10 @@ def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, block_k), lambda i, j, kk: (j, kk),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, k_pad // GROUP),
-                         lambda i, j, kk: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // GROUP, block_n),
+                         lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
@@ -93,7 +93,8 @@ def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * k_pad,
-            bytes_accessed=x.size * 2 + q.size + scales.size * 4 + m_pad * n_pad * 2,
+            bytes_accessed=(x.size * 2 + q.size + scales.size * 4
+                            + m_pad * n_pad * 2),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -102,23 +103,29 @@ def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
 
 
 def quantize_q8(w: jnp.ndarray):
-    """bf16/f32 weight (N, K) -> (q int8 (N, K), scales f32 (N, K//32)).
-    GGUF Q8_0 convention: scale = absmax/127 per 32-group."""
-    n, k = w.shape
-    w32 = jnp.asarray(w, jnp.float32).reshape(n, k // GROUP, GROUP)
-    absmax = jnp.max(jnp.abs(w32), axis=-1)
+    """Weight (K, N) in x@w orientation -> (q int8 (K, N),
+    scales f32 (K//32, N)). GGUF Q8_0 convention: scale = absmax/127 per
+    32-group along K."""
+    k, n = w.shape
+    w32 = jnp.asarray(w, jnp.float32).reshape(k // GROUP, GROUP, n)
+    absmax = jnp.max(jnp.abs(w32), axis=1)
     scales = absmax / 127.0
     inv = jnp.where(scales > 0, 1.0 / scales, 0.0)
-    q = jnp.clip(jnp.round(w32 * inv[:, :, None]), -127, 127).astype(jnp.int8)
-    return q.reshape(n, k), scales
+    q = jnp.clip(jnp.round(w32 * inv[:, None, :]), -127, 127).astype(jnp.int8)
+    return q.reshape(k, n), scales
+
+
+def dequantize_q8(q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    k, n = q.shape
+    return (q.astype(jnp.float32).reshape(k // GROUP, GROUP, n)
+            * scales[:, None, :]).reshape(k, n)
 
 
 def quantize_dit_params(params: dict, min_dim: int = 1024) -> dict:
     """Post-training Q8_0 quantization of a DiT parameter tree: every linear
     "w" with both dims >= min_dim becomes {"q8", "scales"} (the fused-kernel
-    serving format). Small/IO projections stay bf16, mirroring the published
+    serving format). Small/IO projections stay dense, mirroring the published
     GGUF checkpoints which keep sensitive layers in fp16."""
-    import jax
 
     def convert(node):
         if isinstance(node, dict):
@@ -126,7 +133,7 @@ def quantize_dit_params(params: dict, min_dim: int = 1024) -> dict:
                 w = node["w"]
                 k, n = w.shape
                 if min(k, n) >= min_dim and k % GROUP == 0:
-                    q, s = quantize_q8(jnp.asarray(w, jnp.float32).T)
+                    q, s = quantize_q8(w)
                     out = {"q8": q, "scales": s}
                     if "b" in node:
                         out["b"] = node["b"]

@@ -5,22 +5,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from seedvr2_tpu.ops.quant_matmul import (quant_matmul_q8, quantize_q8,
-                                          quant_linear)
+from seedvr2_tpu.ops.quant_matmul import (dequantize_q8, quant_matmul_q8,
+                                          quantize_q8)
 
 
 def test_quant_matmul_matches_dequant_reference():
     rng = np.random.default_rng(0)
     m, k, n = 48, 128, 96
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
     q, scales = quantize_q8(w)
 
-    # reference: dequantize then plain matmul
-    w_deq = (q.astype(jnp.float32).reshape(n, k // 32, 32)
-             * scales[:, :, None]).reshape(n, k)
-    ref = np.asarray(x @ w_deq.T)
-
+    ref = np.asarray(x @ dequantize_q8(q, scales))
     out = np.asarray(quant_matmul_q8(
         x, q, scales, block_m=16, block_n=32, block_k=64, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
@@ -28,28 +24,23 @@ def test_quant_matmul_matches_dequant_reference():
 
 def test_quantize_roundtrip_accuracy():
     rng = np.random.default_rng(1)
-    w = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
     q, s = quantize_q8(w)
-    w_deq = (q.astype(jnp.float32).reshape(64, 8, 32)
-             * s[:, :, None]).reshape(64, 256)
-    rel = np.abs(np.asarray(w_deq - w)).max() / np.abs(np.asarray(w)).max()
+    rel = np.abs(np.asarray(dequantize_q8(q, s) - w)).max() / \
+        np.abs(np.asarray(w)).max()
     assert rel < 0.01  # int8 per-32-group quantization error
 
 
 def test_quant_linear_routing():
-    """layers.linear must route {"q8"} params through the kernel."""
-    from seedvr2_tpu.ops.layers import linear
-
+    """layers.linear must route {"q8"} params through the kernel (validated
+    here via the interpret-mode kernel on the same inputs)."""
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((4, 7, 64)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
     q, s = quantize_q8(w)
     b = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
 
-    # interpret-mode via direct call (CPU backend can't run mosaic)
-    ref_w = (q.astype(jnp.float32).reshape(32, 2, 32) * s[:, :, None]
-             ).reshape(32, 64)
-    ref = np.asarray(x @ ref_w.T + b)
+    ref = np.asarray(x @ dequantize_q8(q, s) + b)
     out_flat = quant_matmul_q8(x.reshape(-1, 64), q, s, block_m=8,
                                block_n=32, block_k=64, interpret=True)
     out = np.asarray(out_flat).reshape(4, 7, 32) + np.asarray(b)
@@ -67,9 +58,49 @@ def test_quantize_dit_params_structure():
     blk = qparams["blocks"][0]["attn"]["proj_qkv"]
     branch = blk.get("all") or blk.get("vid")
     assert "q8" in branch and "scales" in branch
-    n, k = branch["q8"].shape
-    assert branch["scales"].shape == (n, k // 32)
+    k, n = branch["q8"].shape
+    assert branch["scales"].shape == (k // 32, n)
     # small/IO layers stay dense (vid_in proj has a sub-threshold in-dim)
     assert "w" in qparams["vid_in"]["proj"]
     # 1D norm params untouched
     assert "weight" in qparams["vid_out_norm"]
+
+
+def test_gguf_keep_q8_layout(tmp_path):
+    """GGUF keep_q8 load emits the kernel layout and dequantizes equal to the
+    full-dequant load."""
+    import struct
+
+    from seedvr2_tpu.ops import gguf as g
+
+    rng = np.random.default_rng(3)
+    out_dim, in_dim = 8, 64
+    blocks = []
+    for _ in range(out_dim * in_dim // 32):
+        d = np.float16(rng.uniform(0.5, 2.0))
+        qv = rng.integers(-127, 127, 32, dtype=np.int8)
+        blocks.append(d.tobytes() + qv.tobytes())
+    data = b"".join(blocks)
+    name = b"blocks.0.w"
+    path = tmp_path / "q8.gguf"
+    with open(path, "wb") as f:
+        f.write(b"GGUF")
+        f.write(struct.pack("<I", 3))
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<Q", 0))
+        f.write(struct.pack("<Q", len(name)) + name)
+        f.write(struct.pack("<I", 2))
+        f.write(struct.pack("<QQ", in_dim, out_dim))  # gguf innermost first
+        f.write(struct.pack("<I", g.Q8_0))
+        f.write(struct.pack("<Q", 0))
+        pos = f.tell()
+        f.write(b"\0" * ((32 - pos % 32) % 32))
+        f.write(data)
+
+    dense = g.load_gguf_state_dict(str(path))[name.decode()]  # (out, in)
+    quant = g.load_gguf_state_dict(str(path), keep_q8=True)[name.decode()]
+    assert quant["q8"].shape == (in_dim, out_dim)
+    assert quant["scales"].shape == (in_dim // 32, out_dim)
+    deq = np.asarray(dequantize_q8(jnp.asarray(quant["q8"]),
+                                   jnp.asarray(quant["scales"])))
+    np.testing.assert_allclose(deq, dense.T, rtol=1e-5, atol=1e-6)
