@@ -164,6 +164,8 @@ def process_video(args, debug):
     out_format = args.output_format or "mp4"
     out_path = args.output or default_output_path(args.input, out_format)
     runner = make_runner(args, debug)
+    png_base = os.path.splitext(out_path)[0] if out_format == "png" else None
+    png_index = 0
 
     chunk = args.chunk_size if args.chunk_size > 0 else max(reader.remaining, 1)
     overlap = args.temporal_overlap
@@ -192,17 +194,27 @@ def process_video(args, debug):
             result = result.copy()
             result[:overlap, :, :, :3] = pipeline.blend_overlapping_frames(
                 held[:, :, :, :3], result[:overlap, :, :, :3], overlap)
-        if writer is None:
+        if writer is None and png_base is None:
             writer = video_io.VideoWriter(out_path, reader.fps,
                                           result.shape[1:3])
+
+        def emit(frames_out):
+            nonlocal total_written, png_index
+            if png_base is not None:
+                for frame in frames_out:
+                    video_io.write_image(f"{png_base}_{png_index:06d}.png",
+                                         frame)
+                    png_index += 1
+            else:
+                writer.write_frames(frames_out)
+            total_written += frames_out.shape[0]
+
         if overlap > 0 and reader.remaining > 0 and result.shape[0] > overlap:
-            writer.write_frames(result[:-overlap])
-            total_written += result.shape[0] - overlap
+            emit(result[:-overlap])
             held = result[-overlap:]
             prev_in_tail = frames[-overlap:]
         else:
-            writer.write_frames(result)
-            total_written += result.shape[0]
+            emit(result)
             held = None
             prev_in_tail = None
         first_chunk = False

@@ -138,3 +138,17 @@ def test_cli_directory_input(tmp_path, patched_cli):
     reader = video_io.VideoReader(str(out_path))
     assert reader.total == 3
     reader.close()
+
+
+def test_cli_video_png_output(tmp_path, patched_cli):
+    rng = np.random.default_rng(4)
+    frames = rng.uniform(0, 1, (3, 20, 24, 3)).astype(np.float32)
+    in_path = tmp_path / "in.mp4"
+    _write_video(in_path, frames)
+    out_path = tmp_path / "out.png"
+    args = _args(in_path, out_path, output_format="png")
+    from seedvr2_tpu.utils.debug import Debug
+
+    patched_cli.process_video(args, Debug())
+    pngs = sorted(tmp_path.glob("out_*.png"))
+    assert len(pngs) == 3
