@@ -71,7 +71,9 @@ class VideoDiffusionRunner:
 
     @staticmethod
     def _is_oom(err: Exception) -> bool:
-        return "RESOURCE_EXHAUSTED" in str(err) or "Out of memory" in str(err)
+        msg = str(err)
+        return ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                or "Ran out of memory" in msg)
 
     def vae_encode(self, samples: List[jnp.ndarray]) -> List[jnp.ndarray]:
         """samples: list of (T, H, W, 3) in [-1, 1] -> latents (Tl, h, w, 16)

@@ -86,17 +86,24 @@ def causal_conv3d(params: dict, path: str, x: jnp.ndarray, state: State,
 
 def frame_group_norm(params: dict, path: str, x: jnp.ndarray,
                      num_groups: int = 32, eps: float = 1e-6) -> jnp.ndarray:
-    """GroupNorm with per-frame statistics (causal_norm_wrapper semantics)."""
+    """GroupNorm with per-frame statistics (causal_norm_wrapper semantics).
+
+    Written so XLA never materializes an fp32 copy of the activation: the
+    converts fuse into the two reduction passes and the final bf16-output
+    elementwise chain (a materialized x32 was the top HBM allocation in 1080p
+    decode — 5 GB per tensor)."""
     p = _get(params, path)
     b, t, h, w, c = x.shape
     g = num_groups
-    x32 = x.astype(jnp.float32).reshape(b, t, h * w, g, c // g)
-    mean = jnp.mean(x32, axis=(2, 4), keepdims=True)
-    var = jnp.var(x32, axis=(2, 4), keepdims=True)
-    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    out = out.reshape(b, t, h, w, c)
-    out = out * p["weight"].astype(jnp.float32) + p["b"].astype(jnp.float32)
-    return out.astype(x.dtype)
+    xr = x.reshape(b, t, h * w, g, c // g)
+    mean = jnp.mean(xr, axis=(2, 4), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(jnp.square(xr.astype(jnp.float32) - mean), axis=(2, 4),
+                   keepdims=True, dtype=jnp.float32)
+    inv = jax.lax.rsqrt(var + eps)
+    wgt = p["weight"].astype(jnp.float32).reshape(g, c // g)
+    bias = p["b"].astype(jnp.float32).reshape(g, c // g)
+    out = ((xr.astype(jnp.float32) - mean) * inv) * wgt + bias
+    return out.astype(x.dtype).reshape(b, t, h, w, c)
 
 
 def resnet_block(params: dict, path: str, x: jnp.ndarray, state: State,
@@ -117,6 +124,56 @@ def resnet_block(params: dict, path: str, x: jnp.ndarray, state: State,
     return x + h
 
 
+_ATTN_CHUNK = 4096  # online-softmax kv chunk for long spatial sequences
+
+
+def _spatial_attention(q, k, v, scale):
+    """(B, S, C) single-head attention; chunked online softmax when S is too
+    large to materialize (S, S) logits (1080p latent: S=32k -> 4 GB/frame)."""
+    s = q.shape[1]
+    if s <= _ATTN_CHUNK:
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bqk,bkc->bqc", probs, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    pad = (-s) % _ATTN_CHUNK
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = kp.shape[1] // _ATTN_CHUNK
+    kc = kp.reshape(k.shape[0], n_chunks, _ATTN_CHUNK, k.shape[2])
+    vc = vp.reshape(v.shape[0], n_chunks, _ATTN_CHUNK, v.shape[2])
+    q32 = q.astype(jnp.float32) * scale
+
+    def step(carry, inputs):
+        m, l, acc = carry
+        kb, vb, idx = inputs
+        logit = jnp.einsum("bqc,bkc->bqk", q32, kb.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        col = idx * _ATTN_CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, logit.shape, 2)
+        logit = jnp.where(col < s, logit, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(logit, axis=-1, keepdims=True))
+        p = jnp.exp(logit - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jnp.einsum(
+            "bqk,bkc->bqc", p, vb.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return (m_new, l, acc), None
+
+    bsz, sq, c = q.shape
+    init = (jnp.full((bsz, sq, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((bsz, sq, 1), jnp.float32),
+            jnp.zeros((bsz, sq, c), jnp.float32))
+    (m, l, acc), _ = jax.lax.scan(
+        step, init,
+        (kc.transpose(1, 0, 2, 3), vc.transpose(1, 0, 2, 3),
+         jnp.arange(n_chunks)))
+    return (acc / l).astype(q.dtype)
+
+
 def attn_block(params: dict, path: str, x: jnp.ndarray,
                num_groups: int = 32) -> jnp.ndarray:
     """Per-frame single-head spatial attention (UNetMidBlock3D attention,
@@ -135,12 +192,7 @@ def attn_block(params: dict, path: str, x: jnp.ndarray,
         return out + q["b"].astype(z.dtype)
 
     q, k, v = lin("to_q", hid), lin("to_k", hid), lin("to_v", hid)
-    scale = c ** -0.5
-    logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # upcast_softmax
-    out = jnp.einsum("bqk,bkc->bqc", probs, v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = _spatial_attention(q, k, v, scale=c ** -0.5)
     out = jnp.dot(out, p["to_out"]["0"]["w"].astype(out.dtype),
                   preferred_element_type=jnp.float32).astype(out.dtype)
     out = out + p["to_out"]["0"]["b"].astype(out.dtype)

@@ -165,3 +165,25 @@ def test_tiled_decode_parity_vs_reference(pair):
     if out_ref.ndim == 4:
         out_ref = out_ref[:, :, None]
     np.testing.assert_allclose(out_jax, out_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_chunked_spatial_attention_matches_dense():
+    """Online-softmax chunked path == dense path (exercised for S > 4096)."""
+    import jax
+
+    from seedvr2_tpu.models.vae import model as vae_model
+
+    rng = np.random.default_rng(9)
+    b, s, c = 2, 5000, 16
+    q = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    chunked = vae_model._spatial_attention(q, k, v, scale=c ** -0.5)
+    old = vae_model._ATTN_CHUNK
+    try:
+        vae_model._ATTN_CHUNK = 10000  # force dense
+        dense = vae_model._spatial_attention(q, k, v, scale=c ** -0.5)
+    finally:
+        vae_model._ATTN_CHUNK = old
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
