@@ -81,6 +81,10 @@ def parse_arguments():
     perf.add_argument("--attention_mode", type=str, default="flash",
                       choices=["flash", "xla", "sdpa", "flash_attn"],
                       help="flash = Pallas kernel; xla/sdpa = XLA attention")
+    perf.add_argument("--data_parallel", type=str, default="auto",
+                      choices=["auto", "off"],
+                      help="shard batches over all local TPU chips (replaces "
+                           "the reference's --cuda_device fan-out)")
     perf.add_argument("--compile_dit", action="store_true",
                       help="no-op (always jit-compiled)")
     perf.add_argument("--compile_vae", action="store_true",
@@ -109,6 +113,21 @@ def default_output_path(input_path: str, out_format: str) -> str:
 
 
 def make_runner(args, debug):
+    runner = _configure(args, debug)
+    if getattr(args, "data_parallel", "auto") == "auto":
+        import jax
+
+        if len(jax.local_devices()) > 1:
+            from seedvr2_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(len(jax.local_devices()), axis_names=("dp",))
+            runner.attach_mesh(mesh)
+            debug.log(f"data parallel over {mesh.shape['dp']} chips",
+                      category="setup", force=True)
+    return runner
+
+
+def _configure(args, debug):
     return configure_runner(
         dit_model=args.dit_model, vae_model=args.vae_model,
         base_cache_dir=args.model_dir, debug=debug,
