@@ -71,14 +71,17 @@ def causal_conv3d(params: dict, path: str, x: jnp.ndarray, state: State,
     if new_state is not None and cache > 0:
         new_state[path] = x_ext[:, -cache:]
 
+    # NB: no preferred_element_type=f32 here — the TPU conv accumulates in
+    # fp32 internally regardless, while requesting an f32 *output* forces a
+    # full-resolution fp32 materialization + copy (profiled at ~10 GB for
+    # 1080p decode).
     out = jax.lax.conv_general_dilated(
         x_ext.astype(x.dtype),
         w.astype(x.dtype),
         window_strides=stride,
         padding=[(0, 0), s_pad[0], s_pad[1]],
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
     return out
