@@ -32,9 +32,11 @@ import numpy as np
 
 from ...core.configs import DiTConfig
 from ...ops.attention import attention
+from ...ops.gather import gather_rows
 from ...ops.layers import linear, mlp_forward, rms_norm, silu, swiglu_hidden_dim
 from . import rope as rope_lib
-from .windows import LayerPlan, build_layer_plan
+from .windows import (LayerPlan, UniformPlan, build_layer_plan,
+                      build_uniform_plan)
 
 
 # --------------------------------------------------------------------------
@@ -61,15 +63,35 @@ class RopedLayerPlan:
 
 
 @dataclass(frozen=True)
+class UniformAttnPlan:
+    """Uniform padded partition of one window method (the TPU fast path).
+
+    The reference's ragged windows are recovered exactly by a uniform grid
+    with per-axis padding (windows.py build_uniform_plan): partition becomes
+    reshape/transpose (no gathers), all windows share one shape (single
+    flash-attention launch per layer), pad slots are excluded from softmax
+    with `valid`, and per-window rope tables (deduplicated over boundary
+    patterns) are streamed into the kernel by `ids`."""
+
+    up: UniformPlan
+    ids: np.ndarray     # (num_windows,) int32 -> unique table/mask id
+    cos: np.ndarray     # (nU, wlen + txt_len, head_dim) fp32
+    sin: np.ndarray
+    valid: np.ndarray   # (nU, wlen + txt_len) bool
+
+
+@dataclass(frozen=True)
 class DiTPlan:
     """Static per-(T,H,W,txt_len) geometry for a jitted NaDiT forward.
 
-    Tokens are kept in *window-major* order across the block stack: each
-    layer applies one composed permutation (previous layer's order -> this
-    layer's order) instead of a gather per q/k/v plus a scatter back —
-    profiling showed the per-layer permutation traffic dominates the
-    non-matmul time. `transitions[(a, b)]` holds the composed index arrays;
-    "canonical" is the raster token order of the patchified grid."""
+    Two attention layouts are planned:
+     - `uniform` (default on): uniform padded windows, tokens stay in
+       canonical raster order; partition is a reshape/transpose inside the
+       attention sublayer.
+     - grouped fallback (`layer_plans`): per-shape window groups with tokens
+       kept in *window-major* order across the block stack; each layer
+       applies one composed permutation (`transitions[(a, b)]`) instead of a
+       gather per q/k/v plus a scatter back."""
 
     vid_shape: Tuple[int, int, int]   # pre-patch latent (T, H, W)
     grid: Tuple[int, int, int]        # post-patch token grid (Tp, Hp, Wp)
@@ -78,6 +100,7 @@ class DiTPlan:
     transitions: Dict[Tuple[str, str], np.ndarray]
     txt_cos: Optional[np.ndarray]
     txt_sin: Optional[np.ndarray]
+    uniform: Optional[Dict[str, UniformAttnPlan]] = None
 
     @property
     def seq_len(self) -> int:
@@ -85,8 +108,52 @@ class DiTPlan:
         return t * h * w
 
 
+def _window_table(cfg: DiTConfig, real_shape, txt_len: int):
+    """(rlen, rot) cos/sin for one real window extent (identity if no rope)."""
+    if cfg.rope_type == "mmrope3d":
+        return rope_lib.mmrope3d_video_table(real_shape, txt_len, cfg.rope_dim)
+    if cfg.rope_type == "rope3d_window":
+        return rope_lib.rope3d_pixel_table(real_shape, cfg.rope_dim)
+    rlen = int(np.prod(real_shape))
+    return (np.ones((rlen, 0), np.float32), np.zeros((rlen, 0), np.float32))
+
+
+def _build_uniform_attn_plan(cfg: DiTConfig, grid, txt_len: int,
+                             method: str) -> UniformAttnPlan:
+    up = build_uniform_plan(grid, cfg.window, method)
+    key_to_id: Dict[tuple, int] = {}
+    tabs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    ids = np.zeros(up.num_windows, np.int32)
+    for wdx, info in enumerate(up.win_info):
+        if info not in key_to_id:
+            real_shape = (info[0][0], info[1][0], info[2][0])
+            cr, sr = _window_table(cfg, real_shape, txt_len)
+            ce, se = rope_lib.embed_window_table(
+                cr, sr, up.wshape, info, cfg.head_dim, txt_len)
+            valid = np.concatenate(
+                [up.kv_valid[wdx], np.ones(txt_len, dtype=bool)])
+            key_to_id[info] = len(tabs)
+            tabs.append((ce, se, valid))
+        ids[wdx] = key_to_id[info]
+    return UniformAttnPlan(
+        up=up, ids=ids,
+        cos=np.stack([t[0] for t in tabs]),
+        sin=np.stack([t[1] for t in tabs]),
+        valid=np.stack([t[2] for t in tabs]),
+    )
+
+
 def build_dit_plan(cfg: DiTConfig, vid_shape: Tuple[int, int, int],
-                   txt_len: int) -> DiTPlan:
+                   txt_len: int, uniform: bool = False) -> DiTPlan:
+    """Plan the static window geometry for one (T, H, W, txt_len).
+
+    uniform=True switches attention to the uniform padded partition
+    (UniformAttnPlan). Measured on v5e at 4K shapes it loses ~1 s/step to
+    XLA transpose/pad traffic (4 full-tensor layout transforms per layer vs
+    the grouped path's single composed permutation; see
+    docs/performance.md), so the window-major grouped path stays the
+    default. The uniform path remains supported (and tested: grouped ==
+    uniform to 2e-5 fp32) as the simpler reference implementation."""
     T, H, W = vid_shape
     pt, ph, pw = cfg.patch_size
     assert H % ph == 0 and W % pw == 0, "latent H/W must be patch-divisible"
@@ -136,9 +203,15 @@ def build_dit_plan(cfg: DiTConfig, vid_shape: Tuple[int, int, int],
             if a != b:
                 transitions[(a, b)] = layer_plans[a].inv[
                     layer_plans[b].flat].astype(np.int32)
+    uniform_plans = None
+    if uniform:
+        uniform_plans = {
+            m: _build_uniform_attn_plan(cfg, grid, txt_len, m)
+            for m in ("window", "shifted_window")
+        }
     return DiTPlan(vid_shape=vid_shape, grid=grid, txt_len=txt_len,
                    layer_plans=layer_plans, transitions=transitions,
-                   txt_cos=txt_cos, txt_sin=txt_sin)
+                   txt_cos=txt_cos, txt_sin=txt_sin, uniform=uniform_plans)
 
 
 # --------------------------------------------------------------------------
@@ -362,6 +435,96 @@ def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
     return vid_out, txt_out
 
 
+def _to_windows(x: jnp.ndarray, up: UniformPlan) -> jnp.ndarray:
+    """(B, L, D) canonical raster -> (B, num_windows, window_len, D) via
+    pad + reshape + transpose (layout ops only — no gathers)."""
+    B, L, D = x.shape
+    T, H, W = up.size
+    (ft, bt), (fh, bh), (fw, bw) = up.pads
+    nt, nh, nw = up.nwin
+    wt, wh, ww = up.wshape
+    x = x.reshape(B, T, H, W, D)
+    x = jnp.pad(x, ((0, 0), (ft, bt), (fh, bh), (fw, bw), (0, 0)))
+    x = x.reshape(B, nt, wt, nh, wh, nw, ww, D)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(B, nt * nh * nw, wt * wh * ww, D)
+
+
+def _from_windows(xw: jnp.ndarray, up: UniformPlan) -> jnp.ndarray:
+    """Inverse of _to_windows (pad rows are cropped)."""
+    B, _, _, D = xw.shape
+    T, H, W = up.size
+    (ft, _), (fh, _), (fw, _) = up.pads
+    nt, nh, nw = up.nwin
+    wt, wh, ww = up.wshape
+    x = xw.reshape(B, nt, nh, nw, wt, wh, ww, D)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    x = x.reshape(B, nt * wt, nh * wh, nw * ww, D)
+    x = x[:, ft:ft + T, fh:fh + H, fw:fw + W]
+    return x.reshape(B, T * H * W, D)
+
+
+def _window_attention_uniform(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
+                              uplan: UniformAttnPlan):
+    """Joint windowed mm attention over the uniform padded partition.
+
+    xv: (B, L, D) video tokens in *canonical* order. qkv projection and qk
+    norms run on the unpadded tokens (identical matmul shapes to the
+    reference); only q/k/v are window-partitioned (3 layout transforms in,
+    1 out). One flash launch covers every window; padded kv slots are
+    softmax-masked, padded q rows are cropped by _from_windows, so the
+    result is numerically the per-window attention of the ragged reference
+    partition (na.py:583-641) without its varlen machinery."""
+    B, L, _ = xv.shape
+    Hn, Dh = cfg.heads, cfg.head_dim
+    up = uplan.up
+
+    def qkv(x, branch):
+        out = linear(x, _pick(p_attn["proj_qkv"], branch))
+        out = out.reshape(*x.shape[:-1], 3, Hn, Dh)
+        return out[..., 0, :, :], out[..., 1, :, :], out[..., 2, :, :]
+
+    qv, kv, vv = qkv(xv, "vid")
+    qt, kt, vt = qkv(xt, "txt")
+
+    eps = cfg.norm_eps
+    qv = rms_norm(qv, eps, _pick(p_attn["norm_q"], "vid")["weight"])
+    kv = rms_norm(kv, eps, _pick(p_attn["norm_k"], "vid")["weight"])
+    qt = rms_norm(qt, eps, _pick(p_attn["norm_q"], "txt")["weight"])
+    kt = rms_norm(kt, eps, _pick(p_attn["norm_k"], "txt")["weight"])
+
+    if plan.txt_cos is not None:  # 3B mmrope: text is roped too
+        qt = rope_lib.apply_rope(qt, plan.txt_cos, plan.txt_sin)
+        kt = rope_lib.apply_rope(kt, plan.txt_cos, plan.txt_sin)
+
+    nW, wlen, ltxt = up.num_windows, up.window_len, plan.txt_len
+
+    def windowed_with_txt(x, txt):
+        xw = _to_windows(x.reshape(B, L, Hn * Dh), up)
+        xw = xw.reshape(B, nW, wlen, Hn, Dh)
+        t = jnp.broadcast_to(txt[:, None], (B, nW, ltxt, Hn, Dh))
+        return jnp.concatenate([xw, t], axis=2).reshape(
+            B * nW, wlen + ltxt, Hn, Dh)
+
+    ids = np.tile(uplan.ids, B)
+    out = attention(
+        windowed_with_txt(qv, qt),
+        windowed_with_txt(kv, kt),
+        windowed_with_txt(vv, vt),
+        rope_cos=uplan.cos, rope_sin=uplan.sin,
+        table_ids=ids, kv_valid=uplan.valid,
+    ).reshape(B, nW, wlen + ltxt, Hn, Dh)
+
+    vid_out = _from_windows(out[:, :, :wlen].reshape(B, nW, wlen, Hn * Dh), up)
+    # text coalesce: mean over (all non-empty) windows, na.py:396-417
+    txt_out = out[:, :, wlen:].astype(jnp.float32).mean(axis=1)
+    txt_out = txt_out.astype(xv.dtype).reshape(B, ltxt, Hn * Dh)
+
+    vid_out = linear(vid_out, _pick(p_attn["proj_out"], "vid"))
+    txt_out = linear(txt_out, _pick(p_attn["proj_out"], "txt"))
+    return vid_out, txt_out
+
+
 def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
                    plan: DiTPlan, order: str = "canonical"):
     """One NaMMSRTransformerBlock (mmsr_block.py:84-128).
@@ -370,8 +533,9 @@ def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
     layer's window-major order and returns it in that order (returned as the
     third element). Residuals/norm/ada/mlp are order-independent."""
     method = cfg.window_method(i)
-    if order != method:
-        xv = jnp.take(xv, plan.transitions[(order, method)], axis=1)
+    uplan = plan.uniform[method] if plan.uniform is not None else None
+    if uplan is None and order != method:
+        xv = gather_rows(xv, plan.transitions[(order, method)])
     vid_only = cfg.block_vid_only(i)
     layer_plan = plan.layer_plans[method]
     eps = cfg.norm_eps
@@ -389,7 +553,12 @@ def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
     # 3B last layer: ada is vid_only -> txt enters attention normed but
     # unmodulated and leaves ungated (MMModule.vid_only skips the txt call).
     ht = _ada_in(ht, sa_v, ss_v, ada_t, "attn") if ada_t is not None else ht
-    hv, ht = _window_attention(p_blk["attn"], cfg, hv, ht, plan, layer_plan)
+    if uplan is not None:
+        hv, ht = _window_attention_uniform(p_blk["attn"], cfg, hv, ht,
+                                           plan, uplan)
+    else:
+        hv, ht = _window_attention(p_blk["attn"], cfg, hv, ht, plan,
+                                   layer_plan)
     hv = _ada_out(hv, sg_v, ada_v, "attn")
     ht = _ada_out(ht, sg_v, ada_t, "attn") if ada_t is not None else ht
     xv = xv + hv
@@ -407,7 +576,7 @@ def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
         ht2 = mlp_forward(ht2, _pick(p_blk["mlp"], "txt"), cfg.mlp_type)
         ht2 = _ada_out(ht2, mg_v, ada_t, "mlp")
         xt = xt + ht2
-    return xv, xt, method
+    return xv, xt, ("canonical" if uplan is not None else method)
 
 
 def patchify(vid: jnp.ndarray, patch_size) -> jnp.ndarray:
@@ -477,7 +646,7 @@ def nadit_forward(params, cfg: DiTConfig, vid: jnp.ndarray, txt: jnp.ndarray,
         x, xt, order = _block_forward(p_blk, cfg, i, x, xt, emb_attn,
                                       emb_mlp, plan, order)
     if order != "canonical":
-        x = jnp.take(x, plan.transitions[(order, "canonical")], axis=1)
+        x = gather_rows(x, plan.transitions[(order, "canonical")])
 
     if cfg.vid_out_norm:
         x = rms_norm(x, cfg.norm_eps, params["vid_out_norm"]["weight"])

@@ -102,6 +102,30 @@ def extend_tables(cos: np.ndarray, sin: np.ndarray, head_dim: int,
     return cos_e, sin_e
 
 
+def embed_window_table(cos_r: np.ndarray, sin_r: np.ndarray,
+                       wshape: Tuple[int, int, int],
+                       win_info, head_dim: int, txt_len: int):
+    """Embed a real sub-window's (rlen, rot) table into a padded uniform
+    window (windows.py UniformPlan): real rows land at their padded slots
+    (slot_start offsets for front-clipped shifted windows), identity rows
+    (cos=1, sin=0) everywhere else — pad slots are masked kv / cropped q,
+    and the trailing txt_len identity rows pass the appended text tokens
+    through unrotated (3B text is pre-rotated separately)."""
+    wt, wh, ww = wshape
+    wlen = wt * wh * ww
+    cos_e = np.ones((wlen + txt_len, head_dim), np.float32)
+    sin_e = np.zeros((wlen + txt_len, head_dim), np.float32)
+    (rt, st), (rh, sh), (rw, sw) = win_info
+    it = (st + np.arange(rt))[:, None, None]
+    ih = (sh + np.arange(rh))[None, :, None]
+    iw = (sw + np.arange(rw))[None, None, :]
+    flat = ((it * wh + ih) * ww + iw).reshape(-1)
+    rot = cos_r.shape[-1]
+    cos_e[flat, :rot] = cos_r.reshape(len(flat), rot)
+    sin_e[flat, :rot] = sin_r.reshape(len(flat), rot)
+    return cos_e, sin_e
+
+
 def rotate_half_full(x: jnp.ndarray) -> jnp.ndarray:
     """Interleaved-pair rotate-half over the full last dim (must be even)."""
     xr = x.reshape(*x.shape[:-1], -1, 2)

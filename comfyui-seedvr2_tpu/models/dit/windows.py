@@ -20,6 +20,19 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 
+def _window_extents(size, num_windows):
+    """Per-axis uniform window extent (wt, wh, ww), reference math
+    (window.py:28-49: 720p-normalized target counts, ceil splits)."""
+    t, h, w = size
+    nt_tgt, nh_tgt, nw_tgt = num_windows
+    scale = math.sqrt((45 * 80) / (h * w))
+    resized_h, resized_w = round(h * scale), round(w * scale)
+    wh = math.ceil(resized_h / nh_tgt)
+    ww = math.ceil(resized_w / nw_tgt)
+    wt = math.ceil(min(t, 30) / nt_tgt)
+    return wt, wh, ww
+
+
 def window_slices(size: Tuple[int, int, int], num_windows: Tuple[int, int, int]):
     """Plain (non-shifted) 720p-normalized windows (window.py:28-49).
 
@@ -131,3 +144,112 @@ def build_layer_plan(size: Tuple[int, int, int],
     assert concat_idx.shape[0] == L, "windows must partition the token grid"
     inv = np.argsort(concat_idx).astype(np.int32)
     return LayerPlan(groups=groups, inv=inv, num_windows=len(slices))
+
+
+# --------------------------------------------------------------------------
+# Uniform padded partition (TPU fast path)
+# --------------------------------------------------------------------------
+#
+# Observation: the reference's ragged windows are a *uniform* grid of extent
+# w̄ per axis, offset by -ceil(w̄/2) on shifted layers, clipped to the token
+# grid, with empty windows dropped. So padding each axis by
+# (front = w̄ - first_width, back = n*w̄ - front - length) turns the
+# partition into a pure reshape/transpose — no gathers — at the cost of a
+# few pad tokens that are excluded from attention with a kv mask. Window
+# membership and per-window softmax are then *identical* to the reference's
+# (masked tokens never enter the softmax; padded query rows are cropped).
+
+
+@dataclass(frozen=True)
+class UniformPlan:
+    """Uniform padded window partition of a (T, H, W) token grid."""
+
+    size: Tuple[int, int, int]        # unpadded grid
+    wshape: Tuple[int, int, int]      # uniform window extent (wt, wh, ww)
+    nwin: Tuple[int, int, int]        # windows per axis (nt, nh, nw)
+    pads: Tuple[Tuple[int, int], ...]  # per-axis (front, back) grid padding
+    kv_valid: np.ndarray              # (num_windows, window_len) bool
+    # per window, per axis: (real_len, slot_start) — the window's real token
+    # extent and where it starts inside the padded window (slot_start > 0
+    # only for front-clipped shifted windows; RoPE coords restart at 0 there)
+    win_info: Tuple[Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]], ...]
+
+    @property
+    def num_windows(self) -> int:
+        nt, nh, nw = self.nwin
+        return nt * nh * nw
+
+    @property
+    def window_len(self) -> int:
+        wt, wh, ww = self.wshape
+        return wt * wh * ww
+
+
+def _dim_spans(length: int, extent: int, shifted: bool) -> List[Tuple[int, int]]:
+    """Per-axis window spans, mirroring window.py:28-83 for one axis."""
+    if not shifted:
+        n = math.ceil(length / extent)
+        spans = [(i * extent, min((i + 1) * extent, length)) for i in range(n)]
+    else:
+        s = 0.5 if extent < length else 0
+        n = math.ceil((length - s) / extent)
+        n = n + 1 if s > 0 else 1
+        spans = [
+            (max(int((i - s) * extent), 0), min(int((i - s + 1) * extent), length))
+            for i in range(n)
+        ]
+    return [(a, b) for a, b in spans if b > a]
+
+
+def build_uniform_plan(size: Tuple[int, int, int],
+                       num_windows: Tuple[int, int, int],
+                       method: str) -> UniformPlan:
+    extents = _window_extents(size, num_windows)
+    shifted = method == "shifted_window"
+
+    per_axis = []  # (n, front, back, spans)
+    for L, wbar in zip(size, extents):
+        spans = _dim_spans(L, wbar, shifted)
+        n = len(spans)
+        front = wbar - (spans[0][1] - spans[0][0]) if n > 1 else 0
+        back = n * wbar - front - L
+        assert 0 <= front < wbar and 0 <= back < wbar, (L, wbar, front, back)
+        # uniform grid must reproduce the reference spans exactly
+        for j, (a, b) in enumerate(spans):
+            assert a == max(j * wbar - front, 0), (spans, front, j)
+            assert b == min((j + 1) * wbar - front, L), (spans, front, j)
+        per_axis.append((n, front, back, spans))
+
+    nwin = tuple(ax[0] for ax in per_axis)
+    pads = tuple((ax[1], ax[2]) for ax in per_axis)
+
+    # per-axis slot validity per window: slot s is real iff
+    # 0 <= j*wbar + s - front < L
+    axis_valid = []
+    axis_info = []
+    for (n, front, _back, spans), wbar, L in zip(per_axis, extents, size):
+        vs, infos = [], []
+        for j in range(n):
+            p = j * wbar + np.arange(wbar) - front
+            vs.append((p >= 0) & (p < L))
+            a, b = spans[j]
+            infos.append((b - a, front if j == 0 else 0))
+        axis_valid.append(vs)
+        axis_info.append(infos)
+
+    nt, nh, nw = nwin
+    kv_valid = np.zeros((nt * nh * nw, int(np.prod(extents))), dtype=bool)
+    win_info = []
+    w = 0
+    for jt in range(nt):
+        for jh in range(nh):
+            for jw in range(nw):
+                v = (axis_valid[0][jt][:, None, None]
+                     & axis_valid[1][jh][None, :, None]
+                     & axis_valid[2][jw][None, None, :])
+                kv_valid[w] = v.reshape(-1)
+                win_info.append((axis_info[0][jt], axis_info[1][jh],
+                                 axis_info[2][jw]))
+                w += 1
+    return UniformPlan(size=size, wshape=extents, nwin=nwin, pads=pads,
+                       kv_valid=kv_valid, win_info=tuple(win_info))

@@ -18,14 +18,17 @@ import jax.numpy as jnp
 
 
 def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                  scale=None) -> jnp.ndarray:
-    """Dense attention. q: (..., Sq, H, D); k, v: (..., Sk, H, D)."""
+                  scale=None, bias=None) -> jnp.ndarray:
+    """Dense attention. q: (..., Sq, H, D); k, v: (..., Sk, H, D).
+    bias: optional additive logit bias broadcastable to (..., H, Sq, Sk)."""
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     logits = jnp.einsum(
         "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
-    )
-    probs = jax.nn.softmax(logits * scale, axis=-1)
+    ) * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "...hqk,...khd->...qhd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -42,21 +45,40 @@ def _flash_available() -> bool:
 
 
 def attention(q, k, v, scale=None, use_flash: bool = True,
-              rope_cos=None, rope_sin=None):
+              rope_cos=None, rope_sin=None, table_ids=None, kv_valid=None):
     """Dispatch to the Pallas flash kernel when profitable, else XLA.
 
-    rope_cos/rope_sin: optional (S, D) extended tables (identity rows for
-    non-rotated positions); fused into the kernel on TPU, applied as a
-    separate fp32 pass on the XLA fallback."""
+    rope_cos/rope_sin: optional extended rope tables fused into the kernel
+    on TPU, applied as a separate fp32 pass on the XLA fallback. Two forms:
+     - shared: (S, D), same table for every batch row;
+     - per-window: (nU, S, D) deduplicated tables with `table_ids` (B,)
+       int32 mapping rows to ids and `kv_valid` (nU, S) bool masking padded
+       kv slots (uniform window partition, models/dit/windows.py)."""
     if use_flash and _flash_available():
-        from .flash_attention import flash_attention, flash_supported
+        from .flash_attention import (flash_attention, flash_supported,
+                                      flash_windowed_attention)
 
         if flash_supported(q, k, v):
+            if table_ids is not None:
+                return flash_windowed_attention(
+                    q, k, v, scale, rope_cos, rope_sin, table_ids, kv_valid)
             return flash_attention(q, k, v, scale=scale,
                                    rope_cos=rope_cos, rope_sin=rope_sin)
-    if rope_cos is not None:
+    bias = None
+    if table_ids is not None:
+        from ..models.dit.rope import apply_rope_ext
+
+        ids = jnp.asarray(table_ids)
+        cos_b = jnp.asarray(rope_cos)[ids]  # (B, S, D)
+        sin_b = jnp.asarray(rope_sin)[ids]
+        q = apply_rope_ext(q, cos_b, sin_b)
+        k = apply_rope_ext(k, cos_b, sin_b)
+        valid = jnp.asarray(kv_valid)[ids]  # (B, Sk) bool
+        bias = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+        bias = bias[:, None, None, :]
+    elif rope_cos is not None:
         from ..models.dit.rope import apply_rope_ext
 
         q = apply_rope_ext(q, rope_cos, rope_sin)
         k = apply_rope_ext(k, rope_cos, rope_sin)
-    return attention_xla(q, k, v, scale=scale)
+    return attention_xla(q, k, v, scale=scale, bias=bias)

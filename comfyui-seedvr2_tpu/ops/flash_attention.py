@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -136,6 +137,144 @@ def _fa_rope_kernel(cos_ref, sin_ref, q_ref, k_ref, v_ref, o_ref, *,
             m = m_new
 
         o_ref[0, :, pl.ds(h * d, d)] = (acc / l).astype(o_ref.dtype)
+
+
+def _fa_rope_mask_kernel(ids_ref, cos_ref, sin_ref, msk_ref, q_ref, k_ref,
+                         v_ref, o_ref, *, scale: float, block_k: int,
+                         num_k_blocks: int, hb: int, d: int, block_q: int):
+    """Fused-RoPE flash attention with per-window tables and a kv validity
+    mask (uniform padded window partition, models/dit/windows.py
+    UniformPlan). `ids_ref` (scalar-prefetch) maps each batch row to its
+    deduplicated table/mask id; index maps stream the right (1, S, d) table
+    block per window, so tables stay tiny ((nU, S, d), nU <= 27). Masked kv
+    columns are excluded from the online softmax with a -inf logit; the
+    running max is clamped so fully-masked k-blocks stay NaN-free."""
+    del ids_ref  # consumed by the index maps only
+    qb = pl.program_id(2)
+    cos_q = cos_ref[0, pl.ds(qb * block_q, block_q), :]
+    sin_q = sin_ref[0, pl.ds(qb * block_q, block_q), :]
+    for h in range(hb):
+        q = q_ref[0, :, pl.ds(h * d, d)].astype(jnp.float32)
+        q = (q * cos_q + _rot_half(q) * sin_q) * scale
+        bq = q.shape[0]
+        m = jnp.full((bq, 1), -jnp.inf, dtype=jnp.float32)
+        l = jnp.zeros((bq, 1), dtype=jnp.float32)
+        acc = jnp.zeros((bq, d), dtype=jnp.float32)
+
+        for kb in range(num_k_blocks):
+            kblk = k_ref[0, pl.ds(kb * block_k, block_k),
+                         pl.ds(h * d, d)].astype(jnp.float32)
+            cos_k = cos_ref[0, pl.ds(kb * block_k, block_k), :]
+            sin_k = sin_ref[0, pl.ds(kb * block_k, block_k), :]
+            kblk = kblk * cos_k + _rot_half(kblk) * sin_k
+            vblk = v_ref[0, pl.ds(kb * block_k, block_k), pl.ds(h * d, d)]
+            s = jax.lax.dot_general(
+                q, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            valid = msk_ref[0, :, pl.ds(kb * block_k, block_k)]  # (1, bk)
+            s = jnp.where(valid > 0.5, s, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            m_new = jnp.maximum(m_new, -1e30)  # all-masked-block guard
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jax.lax.dot_general(
+                p, vblk.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+
+        o_ref[0, :, pl.ds(h * d, d)] = (
+            acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_windowed_attention(q, k, v, scale, rope_cos, rope_sin, table_ids,
+                             kv_valid):
+    """Uniform-window flash attention: q/k/v (B, S, H, D) where B is
+    batch*num_windows; rope_cos/rope_sin (nU, S, D) fp32 deduplicated
+    per-window tables; kv_valid (nU, S) bool; table_ids (B,) int32 window ->
+    unique-id map (numpy, from the static plan)."""
+    d, h = q.shape[-1], q.shape[-2]
+    sq, sk = q.shape[-3], k.shape[-3]
+    assert sq == sk, "windowed path is self-attention"
+    scale = (d ** -0.5) if scale is None else scale
+    batch_shape = q.shape[:-3]
+
+    q3 = q.reshape((-1, sq, h * d))
+    k3 = k.reshape((-1, sk, h * d))
+    v3 = v.reshape((-1, sk, h * d))
+    b = q3.shape[0]
+
+    sk_pad = _round_up(sk, _LANE)
+    if sk_pad != sk:
+        q3 = jnp.pad(q3, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        k3 = jnp.pad(k3, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    # static (trace-time) table/mask padding to the lane-aligned length
+    cos = np.asarray(rope_cos, np.float32)
+    sin = np.asarray(rope_sin, np.float32)
+    msk = np.asarray(kv_valid, np.float32)
+    if cos.shape[1] != sk_pad:
+        pad = sk_pad - cos.shape[1]
+        cos = np.pad(cos, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
+        sin = np.pad(sin, ((0, 0), (0, pad), (0, 0)))
+        msk = np.pad(msk, ((0, 0), (0, pad)))
+    msk = msk[:, None, :]  # (nU, 1, S_pad): TPU block rule needs 3D here
+    ids = jnp.asarray(np.asarray(table_ids, np.int32))
+    assert ids.shape == (b,), (ids.shape, b)
+
+    hb = _head_group(h)
+    block_q = min(512, sk_pad)
+    while sk_pad % block_q:
+        block_q //= 2
+    block_k = min(1024, sk_pad)
+    while sk_pad % block_k:
+        block_k //= 2
+    hd = hb * d
+
+    kernel = functools.partial(
+        _fa_rope_mask_kernel, scale=scale, block_k=block_k,
+        num_k_blocks=sk_pad // block_k, hb=hb, d=d, block_q=block_q)
+    table_spec = pl.BlockSpec((1, sk_pad, d),
+                              lambda i, j, qb, ids: (ids[i], 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h // hb, sk_pad // block_q),
+        in_specs=[
+            table_spec,
+            table_spec,
+            pl.BlockSpec((1, 1, sk_pad), lambda i, j, qb, ids: (ids[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda i, j, qb, ids: (i, qb, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, hd), lambda i, j, qb, ids: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, hd), lambda i, j, qb, ids: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd),
+                               lambda i, j, qb, ids: (i, qb, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, sk_pad, h * d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sk_pad * sk_pad * d,
+            bytes_accessed=(q3.size + k3.size + v3.size) * 2,
+            transcendentals=b * h * sk_pad * sk_pad,
+        ),
+    )(ids, jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(msk), q3, k3, v3)
+    out = out[:, :sq]
+    return out.reshape((*batch_shape, sq, h, d))
 
 
 def flash_attention(q, k, v, scale=None, rope_cos=None, rope_sin=None):

@@ -1,0 +1,167 @@
+"""w8a8 int8 matmul (Pallas TPU): int8 x int8 -> int32 MXU accumulation.
+
+v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS), so for the
+serving path we quantize weights per-output-channel and activations
+per-token at runtime and accumulate in int32:
+
+    out[m, n] = (sum_k xq[m, k] * wq[k, n]) * xs[m] * ws[n]
+
+This goes beyond the reference's GGUF path (which dequantizes Q8 blocks to
+fp16/bf16 and runs fp16 matmuls on the GPU — ComfyUI-SeedVR2
+src/optimization/gguf_dequant.py): on TPU the dequant-to-bf16 matmul is
+already fused (ops/quant_matmul.py), and w8a8 additionally halves the MXU
+time. Accuracy guardrails live in tests/test_w8a8.py.
+
+Layouts: xq (M, K) int8, wq (K, N) int8 (transposed at quantization time,
+so the kernel contracts the leading K axis like every other linear here),
+xs (M, 1) fp32, ws (1, N) fp32.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mm_kernel(x_ref, w_ref, xs_ref, ws_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = (acc_ref[...].astype(jnp.float32)
+                      * xs_ref[...] * ws_ref[...]).astype(o_ref.dtype)
+
+
+def int8_matmul(xq: jnp.ndarray, wq: jnp.ndarray, xs: jnp.ndarray,
+                ws: jnp.ndarray, out_dtype=jnp.bfloat16,
+                block_m: int = 512, block_n: int = 512,
+                block_k: int = 1024, interpret: bool = False) -> jnp.ndarray:
+    """xq (M, K) i8 @ wq (K, N) i8, scaled by xs (M,) f32 and ws (N,) f32."""
+    m, k = xq.shape
+    k2, n = wq.shape
+    assert k == k2, (xq.shape, wq.shape)
+    m_pad = _round_up(m, block_m)
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+        xs = jnp.pad(xs, (0, m_pad - m))
+    assert k % 256 == 0 and n % 256 == 0, "weight dims must be lane-tileable"
+    block_k = min(block_k, k)
+    block_n = min(block_n, n)
+    while k % block_k:
+        block_k //= 2
+    while n % block_n:
+        block_n //= 2
+
+    out = pl.pallas_call(
+        _mm_kernel,
+        grid=(m_pad // block_m, n // block_n, k // block_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k + k * n + m_pad * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, wq, xs.reshape(-1, 1).astype(jnp.float32),
+      ws.reshape(1, -1).astype(jnp.float32))
+    return out[:m]
+
+
+def quantize_activations(x: jnp.ndarray):
+    """Per-row symmetric int8: (..., K) -> ((..., K) i8, (...,) f32 scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale.squeeze(-1)
+
+
+def quantize_weight_w8a8(w):
+    """(K, N) float kernel -> ((K, N) i8, (N,) f32 per-channel scales)."""
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    amax = np.abs(w).max(axis=0)
+    scale = np.maximum(amax, 1e-8) / 127.0
+    q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def quantize_dit_params_w8a8(params: dict, min_dim: int = 1024) -> dict:
+    """Post-training w8a8 conversion of a DiT parameter tree: every linear
+    "w" with both dims >= min_dim (and lane-tileable) becomes
+    {"w8a8": (K, N) i8, "ws": (N,) f32}. Small/IO projections stay dense,
+    like the published GGUF checkpoints. Q8_0 trees ({"q8", "scales"}) are
+    requantized per-channel (block scales folded in first)."""
+    import numpy as np
+
+    from .quant_matmul import dequantize_q8
+
+    def convert(node):
+        if isinstance(node, dict):
+            w = None
+            if "w" in node and getattr(node["w"], "ndim", 0) == 2:
+                w = np.asarray(node["w"], np.float32)
+            elif "q8" in node:
+                w = np.asarray(dequantize_q8(node["q8"], node["scales"]),
+                               np.float32)
+            if w is not None:
+                k, n = w.shape
+                if min(k, n) >= min_dim and k % 256 == 0 and n % 256 == 0:
+                    q, s = quantize_weight_w8a8(w)
+                    out = {"w8a8": jnp.asarray(q), "ws": jnp.asarray(s)}
+                    if "b" in node:
+                        out["b"] = node["b"]
+                    return out
+                if "q8" in node:  # leave unconverted q8 as-is
+                    return node
+            return {k2: convert(v) for k2, v in node.items()}
+        if isinstance(node, list):
+            return [convert(v) for v in node]
+        return node
+
+    return convert(params)
+
+
+def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
+                bias=None, interpret: bool = False) -> jnp.ndarray:
+    """Drop-in linear: quantize activations per token, int8 MXU matmul."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    xq, xs = quantize_activations(x.reshape(-1, k))
+    out = int8_matmul(xq, wq, xs, ws, out_dtype=x.dtype, interpret=interpret)
+    out = out.reshape(*lead, wq.shape[1])
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

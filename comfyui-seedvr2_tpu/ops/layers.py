@@ -65,8 +65,14 @@ def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """x @ w + b with fp32 accumulation on the MXU.
 
     p: {"w": (in, out), "b"?} for dense weights, or
-    {"q8": (out, in) int8, "scales": (out, in/32), "b"?} for Q8_0 weights
-    (routes through the fused dequant-matmul Pallas kernel)."""
+    {"q8": (in, out) int8, "scales": (in/32, out), "b"?} for Q8_0 weights
+    (routes through the fused dequant-matmul Pallas kernel), or
+    {"w8a8": (in, out) int8, "ws": (out,) f32, "b"?} for the int8-MXU
+    serving mode (per-token dynamic activation quantization)."""
+    if "w8a8" in p:
+        from .int8_matmul import w8a8_linear
+
+        return w8a8_linear(x, p["w8a8"], p["ws"], bias=p.get("b"))
     if "q8" in p:
         from .quant_matmul import quant_linear
 

@@ -23,6 +23,7 @@ import numpy as np
 from ..core.configs import DiTConfig
 from ..models.dit.nadit import (DiTPlan, _block_forward, _time_embedding,
                                 linear, patchify, rms_norm, unpatchify)
+from .gather import gather_rows
 
 
 class SwapStats:
@@ -123,7 +124,7 @@ class StreamedNaDiT:
                                                    emb_mlp)
             order = cfg.window_method(i)
         if order != "canonical":
-            x = jnp.take(x, plan.transitions[(order, "canonical")], axis=1)
+            x = gather_rows(x, plan.transitions[(order, "canonical")])
 
         if cfg.vid_out_norm:
             x = rms_norm(x, cfg.norm_eps, params["vid_out_norm"]["weight"])

@@ -1,0 +1,87 @@
+"""w8a8 int8 matmul: kernel semantics (interpret mode) + accuracy bounds."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from seedvr2_tpu.ops.int8_matmul import (int8_matmul, quantize_activations,
+                                         quantize_weight_w8a8, w8a8_linear)
+
+
+def _ref_int8_matmul(xq, wq, xs, ws):
+    acc = xq.astype(np.int64) @ wq.astype(np.int64)
+    return acc.astype(np.float32) * xs[:, None] * ws[None, :]
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 512, 256), (130, 256, 512)])
+def test_int8_matmul_interpret_exact(m, k, n):
+    rng = np.random.default_rng(0)
+    xq = rng.integers(-127, 128, (m, k)).astype(np.int8)
+    wq = rng.integers(-127, 128, (k, n)).astype(np.int8)
+    xs = rng.random(m).astype(np.float32) * 0.1
+    ws = rng.random(n).astype(np.float32) * 0.05
+    got = np.asarray(int8_matmul(
+        jnp.asarray(xq), jnp.asarray(wq), jnp.asarray(xs), jnp.asarray(ws),
+        out_dtype=jnp.float32, block_m=64, block_n=256, block_k=256,
+        interpret=True))
+    ref = _ref_int8_matmul(xq, wq, xs, ws)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((100, 256)).astype(np.float32))
+    xq, xs = quantize_activations(x)
+    back = np.asarray(xq, np.float32) * np.asarray(xs)[:, None]
+    err = np.abs(back - np.asarray(x))
+    # per-row quantization step = amax/127; error <= step/2
+    step = np.abs(np.asarray(x)).max(axis=1) / 127.0
+    assert (err <= step[:, None] * 0.5 + 1e-6).all()
+
+
+def test_quantize_dit_params_w8a8_tree():
+    """Tree conversion hits big linears only and the model still runs close
+    to the float forward (CPU: kernel in interpret mode is exercised above;
+    here the XLA-int8 fallback semantics ride through jnp.dot... so we only
+    check the converter's structure + a single converted linear)."""
+    from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
+
+    rng = np.random.default_rng(3)
+    params = {
+        "blocks": [{
+            "attn": {"proj_qkv": {"all": {
+                "w": rng.standard_normal((1024, 3072)).astype(np.float32) * 0.02,
+                "b": np.zeros(3072, np.float32)}}},
+            "small": {"w": rng.standard_normal((16, 1024)).astype(np.float32)},
+        }],
+    }
+    out = quantize_dit_params_w8a8(params, min_dim=1024)
+    big = out["blocks"][0]["attn"]["proj_qkv"]["all"]
+    assert "w8a8" in big and big["w8a8"].dtype == jnp.int8
+    assert big["ws"].shape == (3072,) and "b" in big
+    assert "w" in out["blocks"][0]["small"]  # untouched
+
+    # converted q8 trees requantize per-channel
+    from seedvr2_tpu.ops.quant_matmul import quantize_q8
+    w = rng.standard_normal((1024, 2048)).astype(np.float32) * 0.02
+    q, s = quantize_q8(jnp.asarray(w))
+    out2 = quantize_dit_params_w8a8({"lin": {"q8": q, "scales": s}})
+    assert "w8a8" in out2["lin"]
+    back = (np.asarray(out2["lin"]["w8a8"], np.float32)
+            * np.asarray(out2["lin"]["ws"])[None, :])
+    assert np.abs(back - w).mean() / np.abs(w).mean() < 0.02
+
+
+def test_w8a8_linear_close_to_float():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((64, 512)).astype(np.float32))
+    w = rng.standard_normal((512, 256)).astype(np.float32) * 0.02
+    wq, ws = quantize_weight_w8a8(w)
+    got = np.asarray(w8a8_linear(x, jnp.asarray(wq), jnp.asarray(ws),
+                                 interpret=True))
+    ref = np.asarray(x) @ w
+    # int8 x int8 keeps ~1% relative error on gaussian data
+    denom = np.abs(ref).mean()
+    assert np.abs(got - ref).mean() / denom < 0.02
