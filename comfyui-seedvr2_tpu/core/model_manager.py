@@ -63,14 +63,23 @@ def _read_safetensors_numpy(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
-                        keep_quantized: bool = False) -> Tuple[dict, DiTConfig]:
-    """keep_quantized: keep GGUF Q8_0 linears as int8+scales for the fused
-    dequant-matmul kernel instead of expanding to bf16."""
+                        keep_quantized: bool = False,
+                        quant: str = "none") -> Tuple[dict, DiTConfig]:
+    """Serving quantization modes (replaces the reference's GGUF/FP8 dequant
+    machinery, src/optimization/gguf_dequant.py / compatibility.py):
+      - quant="q8" (or keep_quantized=True): large linears stay int8 with
+        Q8_0 block scales; matmuls run the fused dequant->bf16 MXU kernel
+        (ops/quant_matmul.py). GGUF checkpoints keep their blocks verbatim;
+        float checkpoints are post-training quantized.
+      - quant="w8a8": per-channel int8 weights + per-token dynamic int8
+        activations on the int8 MXU (ops/int8_matmul.py)."""
+    if keep_quantized and quant == "none":
+        quant = "q8"
     cfg = dit_config_for(os.path.basename(path))
     if path.endswith(".gguf"):
         from ..ops.gguf import load_gguf_state_dict
 
-        state = load_gguf_state_dict(path, keep_q8=keep_quantized)
+        state = load_gguf_state_dict(path, keep_q8=quant in ("q8", "w8a8"))
     elif path.endswith((".pth", ".pt")):
         import torch
 
@@ -80,6 +89,14 @@ def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
     else:
         state = _read_safetensors_numpy(path)
     params = convert_state_dict(state, dtype=dtype)
+    if quant == "w8a8":
+        from ..ops.int8_matmul import quantize_dit_params_w8a8
+
+        params = quantize_dit_params_w8a8(params)
+    elif quant == "q8" and not path.endswith(".gguf"):
+        from ..ops.quant_matmul import quantize_dit_params
+
+        params = quantize_dit_params(params)
     return params, cfg
 
 
@@ -116,6 +133,7 @@ def configure_runner(
     attention_mode: str = "flash",
     compute_dtype=COMPUTE_DTYPE,
     keep_quantized: bool = False,
+    quant: str = "none",
     **_compat_kwargs,
 ) -> VideoDiffusionRunner:
     """Build (or fetch cached) a fully configured runner for a model pair."""
@@ -123,7 +141,7 @@ def configure_runner(
     runner_key = "|".join(map(str, (
         dit_model, vae_model, encode_tiled, encode_tile_size,
         encode_tile_overlap, decode_tiled, decode_tile_size,
-        decode_tile_overlap, attention_mode)))
+        decode_tile_overlap, attention_mode, keep_quantized, quant)))
     cached = cache.get_runner(runner_key)
     if cached is not None:
         debug.log("Reusing cached runner", category="reuse")
@@ -142,7 +160,8 @@ def configure_runner(
     if dit_params is None:
         with debug.timer("load_dit", "DiT weights load"):
             dit_params, dit_cfg = load_dit_checkpoint(
-                dit_path, compute_dtype, keep_quantized=keep_quantized)
+                dit_path, compute_dtype, keep_quantized=keep_quantized,
+                quant=quant)
             # force the host->HBM transfer to complete inside the timer
             # (transfers are async; without this the first jit execution
             # silently absorbs multi-GB upload time)

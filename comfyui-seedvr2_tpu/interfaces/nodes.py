@@ -22,7 +22,7 @@ class SeedVR2LoadDiTModel:
     def execute(cls, model: str = DEFAULT_DIT, device: str = "tpu:0",
                 offload_device: str = "none", cache_model: bool = False,
                 blocks_to_swap: int = 0, swap_io_components: bool = False,
-                attention_mode: str = "flash",
+                attention_mode: str = "flash", quant: str = "none",
                 torch_compile_args: Optional[Dict[str, Any]] = None
                 ) -> Dict[str, Any]:
         if (blocks_to_swap > 0 or swap_io_components) and \
@@ -39,6 +39,7 @@ class SeedVR2LoadDiTModel:
             "blocks_to_swap": blocks_to_swap,
             "swap_io_components": swap_io_components,
             "attention_mode": attention_mode,
+            "quant": quant,
             "torch_compile_args": torch_compile_args,
         }
 
@@ -138,6 +139,7 @@ class SeedVR2VideoUpscaler:
             decode_tile_size=(vae.get("decode_tile_size", 512),) * 2,
             decode_tile_overlap=(vae.get("decode_tile_overlap", 64),) * 2,
             attention_mode=dit.get("attention_mode", "flash"),
+            quant=dit.get("quant", "none"),
         )
 
         frames = np.asarray(image, dtype=np.float32)

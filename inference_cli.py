@@ -85,6 +85,12 @@ def parse_arguments():
                       choices=["auto", "off"],
                       help="shard batches over all local TPU chips (replaces "
                            "the reference's --cuda_device fan-out)")
+    perf.add_argument("--quant", type=str, default="none",
+                      choices=["none", "q8", "w8a8"],
+                      help="DiT serving quantization: q8 = int8 weights + "
+                           "fused dequant matmul (GGUF checkpoints keep "
+                           "their Q8_0 blocks); w8a8 = int8 weights AND "
+                           "per-token int8 activations on the int8 MXU")
     perf.add_argument("--compile_dit", action="store_true",
                       help="no-op (always jit-compiled)")
     perf.add_argument("--compile_vae", action="store_true",
@@ -140,6 +146,7 @@ def _configure(args, debug):
         decode_tile_size=(args.vae_decode_tile_size,) * 2,
         decode_tile_overlap=(args.vae_decode_tile_overlap,) * 2,
         attention_mode=args.attention_mode,
+        quant=args.quant,
     )
 
 
