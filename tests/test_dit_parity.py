@@ -76,6 +76,11 @@ def test_nadit_3b_matches_reference(shape):
     out_jax = np.asarray(out_jax[0])
 
     np.testing.assert_allclose(out_jax, out_ref, rtol=2e-3, atol=2e-3)
+    # BASELINE.md criterion: PSNR parity with the PyTorch reference.
+    rng_span = out_ref.max() - out_ref.min()
+    rmse = np.sqrt(np.mean((out_jax - out_ref) ** 2))
+    psnr = 20 * np.log10(rng_span / max(rmse, 1e-12))
+    assert psnr > 60, f"PSNR vs reference too low: {psnr:.1f} dB"
 
 
 def test_nadit_7b_matches_reference():

@@ -80,6 +80,11 @@ def test_decode_parity_single_slice(pair):
     out_jax = np.asarray(vae.decode(jnp.asarray(z.transpose(0, 2, 3, 4, 1))))
     out_jax = out_jax.transpose(0, 4, 1, 2, 3)
     np.testing.assert_allclose(out_jax, out_ref, rtol=5e-3, atol=5e-3)
+    # BASELINE.md criterion: PSNR parity with the PyTorch reference.
+    span = out_ref.max() - out_ref.min()
+    rmse = np.sqrt(np.mean((out_jax - out_ref) ** 2))
+    psnr = 20 * np.log10(span / max(rmse, 1e-12))
+    assert psnr > 60, f"decode PSNR vs reference too low: {psnr:.1f} dB"
 
 
 def test_encode_parity_sliced(pair):
