@@ -69,8 +69,22 @@ def int8_matmul(xq: jnp.ndarray, wq: jnp.ndarray, xs: jnp.ndarray,
     m, k = xq.shape
     k2, n = wq.shape
     assert k == k2, (xq.shape, wq.shape)
-    m_pad = _round_up(m, block_m)
-    if m_pad != m:
+    if not interpret and jax.default_backend() != "tpu":
+        # exact emulation (int32 accumulation) for CPU correctness runs
+        acc = jax.lax.dot_general(
+            xq.astype(jnp.int32), wq.astype(jnp.int32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * xs[:, None].astype(jnp.float32)
+                * ws[None, :].astype(jnp.float32)).astype(out_dtype)
+    # prefer an M block that divides M exactly (int8 sublane tile = 32) —
+    # padding 64800 -> 65536 costs a pad + slice of the full activation per
+    # call, which profiling showed eats a third of the int8 win
+    if m % 32 == 0:
+        block_m = _block_div(m, block_m, quantum=32)
+        m_pad = m
+    else:
+        m_pad = _round_up(m, block_m)
         xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
         xs = jnp.pad(xs, (0, m_pad - m))
     assert k % 256 == 0 and n % 256 == 0, "weight dims must be lane-tileable"
@@ -174,3 +188,25 @@ def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def w8a8_double_linear(x: jnp.ndarray, p_a: dict, p_b: dict,
+                       interpret: bool = False):
+    """Two w8a8 linears sharing one input (swiglu gate + up): quantize the
+    activations once and run a single fused (K, Na+Nb) int8 matmul. The
+    weight concat is a per-call copy of int8 constants (~13 MB at 3B MLP
+    size — negligible next to the saved full-activation quantize pass)."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    na = p_a["w8a8"].shape[1]
+    wq = jnp.concatenate([p_a["w8a8"], p_b["w8a8"]], axis=1)
+    ws = jnp.concatenate([p_a["ws"], p_b["ws"]])
+    xq, xs = quantize_activations(x.reshape(-1, k))
+    out = int8_matmul(xq, wq, xs, ws, out_dtype=x.dtype, interpret=interpret)
+    out = out.reshape(*lead, -1)
+    a, b = out[..., :na], out[..., na:]
+    if p_a.get("b") is not None and "b" in p_a:
+        a = a + p_a["b"].astype(a.dtype)
+    if p_b.get("b") is not None and "b" in p_b:
+        b = b + p_b["b"].astype(b.dtype)
+    return a, b

@@ -94,6 +94,11 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
 
 def mlp_forward(x: jnp.ndarray, p: dict, mlp_type: str) -> jnp.ndarray:
     if mlp_type == "swiglu":
+        if "w8a8" in p["proj_in_gate"] and "w8a8" in p["proj_in"]:
+            from .int8_matmul import w8a8_double_linear
+
+            g, u = w8a8_double_linear(x, p["proj_in_gate"], p["proj_in"])
+            return linear(silu(g) * u, p["proj_out"])
         return linear(silu(linear(x, p["proj_in_gate"])) * linear(x, p["proj_in"]),
                       p["proj_out"])
     return linear(gelu_tanh(linear(x, p["proj_in"])), p["proj_out"])

@@ -74,6 +74,35 @@ def test_quantize_dit_params_w8a8_tree():
     assert np.abs(back - w).mean() / np.abs(w).mean() < 0.02
 
 
+def test_w8a8_full_model_accuracy():
+    """Full small-NaDiT forward in w8a8 (CPU int32-exact emulation of the
+    kernel) stays close to the fp32 forward — the model-level accuracy
+    guardrail for the serving mode."""
+    from seedvr2_tpu.core.configs import DiTConfig
+    from seedvr2_tpu.models.dit.nadit import (build_dit_plan,
+                                              init_dit_params, nadit_forward)
+    from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
+
+    cfg = DiTConfig(
+        family="dit_3b", vid_in_channels=9, vid_out_channels=4, vid_dim=512,
+        txt_in_dim=16, heads=4, head_dim=128, expand_ratio=4, norm_eps=1e-5,
+        qk_bias=False, patch_size=(1, 2, 2), num_layers=2, mm_layers=1,
+        mlp_type="swiglu", window=(2, 2, 2), rope_type="mmrope3d",
+        rope_dim=48, vid_out_norm=True)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qparams = quantize_dit_params_w8a8(params, min_dim=512)
+
+    rng = np.random.default_rng(5)
+    vid = jnp.asarray(rng.standard_normal((1, 2, 8, 12, 9), dtype=np.float32))
+    txt = jnp.asarray(rng.standard_normal((1, 7, 16), dtype=np.float32))
+    ts = jnp.asarray([500.0])
+    plan = build_dit_plan(cfg, (2, 8, 12), 7)
+    ref = np.asarray(nadit_forward(params, cfg, vid, txt, ts, plan))
+    got = np.asarray(nadit_forward(qparams, cfg, vid, txt, ts, plan))
+    rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.05, f"w8a8 model error too high: {rel:.4f}"
+
+
 def test_w8a8_linear_close_to_float():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((64, 512)).astype(np.float32))
