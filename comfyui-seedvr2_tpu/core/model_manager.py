@@ -147,12 +147,13 @@ def configure_runner(
         debug.log("Reusing cached runner", category="reuse")
         return cached
 
+    from ..utils.constants import find_model_path
     from ..utils.downloads import download_weight
 
-    dit_path = (dit_model if os.path.isfile(dit_model)
-                else download_weight(dit_model, base_cache_dir, debug))
-    vae_path = (vae_model if os.path.isfile(vae_model)
-                else download_weight(vae_model, base_cache_dir, debug))
+    dit_path = (find_model_path(dit_model, base_cache_dir)
+                or download_weight(dit_model, base_cache_dir, debug))
+    vae_path = (find_model_path(vae_model, base_cache_dir)
+                or download_weight(vae_model, base_cache_dir, debug))
 
     import jax
 

@@ -197,3 +197,18 @@ def test_yaml_config_ingestion():
         "/root/reference/src/models/video_vae_v3/s8_c16_t4_inflation_sd3.yaml")
     assert vae.block_out_channels == (128, 256, 512, 512)
     assert vae.latent_channels == 16
+
+
+def test_find_model_path(tmp_path, monkeypatch):
+    """utils/constants.py model-path resolution (reference constants.py):
+    env search path, case-insensitive filename match, miss -> None."""
+    from seedvr2_tpu.utils.constants import candidate_model_dirs, find_model_path
+
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    (d1 / "MyModel.safetensors").write_bytes(b"x")
+    monkeypatch.setenv("SEEDVR2_MODEL_PATHS", str(d1))
+    assert find_model_path("mymodel.safetensors") == str(d1 / "MyModel.safetensors")
+    assert find_model_path("missing.safetensors", str(tmp_path)) is None
+    dirs = candidate_model_dirs(str(tmp_path))
+    assert str(d1) in dirs and str(tmp_path) in dirs
