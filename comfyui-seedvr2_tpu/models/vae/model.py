@@ -99,9 +99,14 @@ def frame_group_norm(params: dict, path: str, x: jnp.ndarray,
     b, t, h, w, c = x.shape
     g = num_groups
     xr = x.reshape(b, t, h * w, g, c // g)
+    # one-pass moments: E[x] and E[x^2] from a single read of the
+    # activation. (Measured on v5e: ~1% — XLA already fused the two-pass
+    # form — kept for the simpler fusion shape.) f32 accumulators keep the
+    # E[x^2]-E[x]^2 cancellation well inside oracle parity tolerance.
     mean = jnp.mean(xr, axis=(2, 4), keepdims=True, dtype=jnp.float32)
-    var = jnp.mean(jnp.square(xr.astype(jnp.float32) - mean), axis=(2, 4),
-                   keepdims=True, dtype=jnp.float32)
+    meansq = jnp.mean(jnp.square(xr.astype(jnp.float32)), axis=(2, 4),
+                      keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)
     wgt = p["weight"].astype(jnp.float32).reshape(g, c // g)
     bias = p["b"].astype(jnp.float32).reshape(g, c // g)
