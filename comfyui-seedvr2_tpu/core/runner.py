@@ -66,6 +66,8 @@ class VideoDiffusionRunner:
         if self.vae is not None:
             self.vae.params = jax.device_put(
                 self.vae.params, NamedSharding(mesh, P()))
+            # tile-parallel tiled encode/decode (one tile per chip per wave)
+            self.vae.mesh = mesh
 
     # ----------------------------------------------------------------- vae
 

@@ -58,6 +58,12 @@ class VideoVAE:
         # --tile_debug overlay (reference: debug.encode/decode_tile_boundaries)
         self.last_encode_tiles = []
         self.last_decode_tiles = []
+        # optional jax Mesh for tile-parallel tiled encode/decode: same-shape
+        # tiles are stacked on the batch axis and sharded across chips (one
+        # tile per chip per wave — per-chip HBM stays that of a single tile).
+        # Replaces the reference's per-GPU frame fan-out for the VAE phases,
+        # which dominate 4K wall time (README.md:940).
+        self.mesh = None
 
         cfg_ = cfg
 
@@ -120,6 +126,39 @@ class VideoVAE:
 
     # --------------------------------------------------- spatial tiling --
 
+    def _tile_map(self, run, crops):
+        """Run `run` (sliced encode/decode core) over a list of same-batch
+        crops. With a mesh attached, same-shape crops are stacked on the
+        batch axis and sharded over the mesh's first axis in waves of
+        n_devices (tiles are embarrassingly parallel; XLA shards every
+        batch-elementwise op, so per-chip memory = one tile). Returns f32
+        results in input order."""
+        if self.mesh is None or len(crops) == 1:
+            return [run(c).astype(jnp.float32) for c in crops]
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = self.mesh.axis_names[0]
+        nd = self.mesh.shape[axis]
+        sharding = NamedSharding(self.mesh, PartitionSpec(axis))
+        b = crops[0].shape[0]
+
+        by_shape = {}
+        for i, c in enumerate(crops):
+            by_shape.setdefault(c.shape, []).append(i)
+        out = [None] * len(crops)
+        for idxs in by_shape.values():
+            for w0 in range(0, len(idxs), nd):
+                wave = idxs[w0: w0 + nd]
+                pad = nd - len(wave)
+                stack = [crops[i] for i in wave] + [crops[wave[0]]] * pad
+                batch = jax.device_put(
+                    jnp.concatenate(stack, axis=0), sharding)
+                res = run(batch).astype(jnp.float32)
+                for j, i in enumerate(wave):
+                    out[i] = res[j * b: (j + 1) * b]
+        return out
+
     def encode(self, x: jnp.ndarray, tiled: bool = False,
                tile_size: Tuple[int, int] = (512, 512),
                tile_overlap: Tuple[int, int] = (64, 64)) -> jnp.ndarray:
@@ -146,6 +185,7 @@ class VideoVAE:
         count = jnp.zeros((1, 1, H_lat, W_lat, 1), dtype=jnp.float32)
         self.last_encode_tiles = []
 
+        rects = []
         for y in range(0, H_lat, stride_h):
             y_end = min(y + lt_h, H_lat)
             if y > 0 and (y_end - y) <= lo_h:
@@ -154,19 +194,25 @@ class VideoVAE:
                 x_end = min(xx + lt_w, W_lat)
                 if xx > 0 and (x_end - xx) <= lo_w:
                     continue
+                rects.append((y, y_end, xx, x_end))
                 self.last_encode_tiles.append(
                     (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf))
-                crop = x[:, :, y * sf: min(y_end * sf, H),
-                         xx * sf: min(x_end * sf, W)]
-                tile = self._sliced_encode(crop)[..., :lat].astype(jnp.float32)
-                eh = min(y_end - y, tile.shape[2], H_lat - y)
-                ew = min(x_end - xx, tile.shape[3], W_lat - xx)
-                tile = tile[:, :Tl, :eh, :ew]
-                wh = _fade_weights(eh, lo_h, y > 0, y_end < H_lat)
-                ww = _fade_weights(ew, lo_w, xx > 0, x_end < W_lat)
-                mask = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
-                result = result.at[:, :, y: y + eh, xx: xx + ew].add(tile * mask)
-                count = count.at[:, :, y: y + eh, xx: xx + ew].add(mask)
+
+        crops = [x[:, :, y * sf: min(y_end * sf, H),
+                   xx * sf: min(x_end * sf, W)]
+                 for (y, y_end, xx, x_end) in rects]
+        tiles = self._tile_map(
+            lambda c: self._sliced_encode(c)[..., :lat], crops)
+
+        for (y, y_end, xx, x_end), tile in zip(rects, tiles):
+            eh = min(y_end - y, tile.shape[2], H_lat - y)
+            ew = min(x_end - xx, tile.shape[3], W_lat - xx)
+            tile = tile[:, :Tl, :eh, :ew]
+            wh = _fade_weights(eh, lo_h, y > 0, y_end < H_lat)
+            ww = _fade_weights(ew, lo_w, xx > 0, x_end < W_lat)
+            mask = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
+            result = result.at[:, :, y: y + eh, xx: xx + ew].add(tile * mask)
+            count = count.at[:, :, y: y + eh, xx: xx + ew].add(mask)
         result = result / jnp.clip(count, 1e-6)
         return result.astype(self.dtype)
 
@@ -193,6 +239,7 @@ class VideoVAE:
         count = jnp.zeros((1, 1, H, W, 1), dtype=jnp.float32)
         self.last_decode_tiles = []
 
+        rects = []
         for y in range(0, h, stride_h):
             y_end = min(y + lt_h, h)
             if y > 0 and (y_end - y) <= lo_h:
@@ -201,20 +248,24 @@ class VideoVAE:
                 x_end = min(xx + lt_w, w)
                 if xx > 0 and (x_end - xx) <= lo_w:
                     continue
+                rects.append((y, y_end, xx, x_end))
                 self.last_decode_tiles.append(
                     (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf))
-                tile = self._sliced_decode(
-                    z[:, :, y:y_end, xx:x_end]).astype(jnp.float32)
-                yo, yo_end = y * sf, y_end * sf
-                xo, xo_end = xx * sf, x_end * sf
-                # decode fades are computed in output space with the *pixel*
-                # overlap (attn_video_vae.py:1508-1515)
-                wh = _fade_weights(yo_end - yo, tile_overlap[0], y > 0, y_end < h)
-                ww = _fade_weights(xo_end - xo, tile_overlap[1], xx > 0, x_end < w)
-                mask = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
-                result = result.at[:, :tile.shape[1], yo:yo_end, xo:xo_end].add(
-                    tile * mask)
-                count = count.at[:, :, yo:yo_end, xo:xo_end].add(mask)
+
+        crops = [z[:, :, y:y_end, xx:x_end] for (y, y_end, xx, x_end) in rects]
+        tiles = self._tile_map(self._sliced_decode, crops)
+
+        for (y, y_end, xx, x_end), tile in zip(rects, tiles):
+            yo, yo_end = y * sf, y_end * sf
+            xo, xo_end = xx * sf, x_end * sf
+            # decode fades are computed in output space with the *pixel*
+            # overlap (attn_video_vae.py:1508-1515)
+            wh = _fade_weights(yo_end - yo, tile_overlap[0], y > 0, y_end < h)
+            ww = _fade_weights(xo_end - xo, tile_overlap[1], xx > 0, x_end < w)
+            mask = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
+            result = result.at[:, :tile.shape[1], yo:yo_end, xo:xo_end].add(
+                tile * mask)
+            count = count.at[:, :, yo:yo_end, xo:xo_end].add(mask)
         result = result / jnp.clip(count, 1e-6)
         return result.astype(self.dtype)
 

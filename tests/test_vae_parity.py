@@ -192,3 +192,33 @@ def test_chunked_spatial_attention_matches_dense():
         vae_model._ATTN_CHUNK = old
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mesh_tile_parallel_matches_sequential(pair):
+    """Tile-parallel tiled encode/decode over an 8-device mesh must equal
+    the sequential tile loop exactly (tiles are independent; sharding only
+    changes placement). Runs on the virtual CPU mesh from conftest."""
+    import jax
+    from jax.sharding import Mesh
+
+    _, vae = pair
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, (1, 5, 96, 128, 3)).astype(np.float32)
+    z = rng.standard_normal((1, 2, 16, 24, LATENT)).astype(np.float32)
+
+    seq_enc = np.asarray(vae.encode(jnp.asarray(x), tiled=True,
+                                    tile_size=(64, 64), tile_overlap=(16, 16)))
+    seq_dec = np.asarray(vae.decode(jnp.asarray(z), tiled=True,
+                                    tile_size=(96, 96), tile_overlap=(32, 32)))
+    try:
+        vae.mesh = Mesh(np.array(jax.devices()), ("dp",))
+        par_enc = np.asarray(vae.encode(jnp.asarray(x), tiled=True,
+                                        tile_size=(64, 64),
+                                        tile_overlap=(16, 16)))
+        par_dec = np.asarray(vae.decode(jnp.asarray(z), tiled=True,
+                                        tile_size=(96, 96),
+                                        tile_overlap=(32, 32)))
+    finally:
+        vae.mesh = None
+    np.testing.assert_allclose(par_enc, seq_enc, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(par_dec, seq_dec, rtol=1e-5, atol=1e-5)
