@@ -88,15 +88,27 @@ def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
         state = {k: v.float().numpy() for k, v in raw.items()}
     else:
         state = _read_safetensors_numpy(path)
-    params = convert_state_dict(state, dtype=dtype)
-    if quant == "w8a8":
-        from ..ops.int8_matmul import quantize_dit_params_w8a8
+    if quant in ("w8a8", "q8"):
+        # quantize on the HOST: convert_state_dict places arrays on the
+        # default (TPU) device, and pulling 6.8 GB back through the dev
+        # tunnel for np-side quantization takes tens of minutes. Keep the
+        # whole convert+quantize on CPU, then ship the (2x smaller) int8
+        # tree to the accelerator in one device_put.
+        import jax
 
-        params = quantize_dit_params_w8a8(params)
-    elif quant == "q8" and not path.endswith(".gguf"):
-        from ..ops.quant_matmul import quantize_dit_params
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = convert_state_dict(state, dtype=dtype)
+            if quant == "w8a8":
+                from ..ops.int8_matmul import quantize_dit_params_w8a8
 
-        params = quantize_dit_params(params)
+                params = quantize_dit_params_w8a8(params)
+            elif not path.endswith(".gguf"):
+                from ..ops.quant_matmul import quantize_dit_params
+
+                params = quantize_dit_params(params)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = convert_state_dict(state, dtype=dtype)
     return params, cfg
 
 

@@ -152,3 +152,27 @@ def test_cli_video_png_output(tmp_path, patched_cli):
     patched_cli.process_video(args, Debug())
     pngs = sorted(tmp_path.glob("out_*.png"))
     assert len(pngs) == 3
+
+
+def test_chunked_equals_unchunked_on_batch_boundaries(tmp_path, patched_cli):
+    """SURVEY §4 streaming equivalence. Exact equality holds when chunk
+    boundaries align with DiT batch boundaries (then each batch sees
+    identical 4n+1 padding in both runs); mid-batch chunk cuts legitimately
+    differ (the reference's streaming is approximate there too, blended at
+    seams). Frames go through process_frames directly — mp4 round-trips
+    quantize to uint8 and would mask real differences."""
+    from seedvr2_tpu.utils.debug import Debug
+
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 1, (12, 20, 24, 3)).astype(np.float32)
+
+    args = _args("x.mp4", "y.mp4")
+    debug = Debug()
+    runner = patched_cli.make_runner(args, debug)
+    full = patched_cli.process_frames(runner, frames, args, debug)
+
+    # batch_size=5 -> batches [0:5][5:10][10:12]; chunks cut at 5/10
+    parts = [patched_cli.process_frames(runner, frames[a:b], args, debug)
+             for a, b in ((0, 5), (5, 10), (10, 12))]
+    np.testing.assert_allclose(np.concatenate(parts), full,
+                               rtol=1e-4, atol=1e-4)
