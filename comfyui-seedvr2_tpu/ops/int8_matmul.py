@@ -122,6 +122,88 @@ def int8_matmul(xq: jnp.ndarray, wq: jnp.ndarray, xs: jnp.ndarray,
     return out[:m]
 
 
+def _mm_qx_kernel(x_ref, w_ref, ws_ref, o_ref, xq_ref, xs_ref):
+    """Quantizing int8 matmul: bf16 activations in, per-row int8 quantization
+    done once per M block (j == 0) into VMEM scratch, then int8 MXU dots
+    against every N block. Removes the separate XLA quantize pass (a full
+    read+write of the activation per linear)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _quantize():
+        # row-chunked so the fp32 temporaries stay ~64*K*4 bytes on the
+        # VMEM stack (a whole-block astype(f32) blew the 16M scoped limit)
+        bm = x_ref.shape[0]
+        r0 = 0
+        while r0 < bm:
+            step = min(64, bm - r0)
+            x = x_ref[pl.ds(r0, step), :].astype(jnp.float32)
+            amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+            scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+            xq_ref[pl.ds(r0, step), :] = jnp.clip(
+                jnp.round(x * (1.0 / scale)), -127, 127).astype(jnp.int8)
+            xs_ref[pl.ds(r0, step), :] = scale
+            r0 += step
+
+    acc = jax.lax.dot_general(
+        xq_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = (acc.astype(jnp.float32) * xs_ref[...]
+                  * ws_ref[...]).astype(o_ref.dtype)
+
+
+def int8_matmul_qx(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
+                   out_dtype=None, block_m: int = 512,
+                   block_n: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """bf16/f32 x (M, K) @ int8 wq (K, N) with in-kernel per-row activation
+    quantization (full-K blocks; K must fit VMEM alongside the scratch)."""
+    m, k = x.shape
+    k2, n = wq.shape
+    assert k == k2
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+    # VMEM budget: the bf16 x block + int8 scratch are K wide (full rows);
+    # cap block_m so 3*K bytes/row stays ~6 MB (leaves room for w/out
+    # double-buffering), rounded to the int8 sublane tile
+    block_m = min(block_m, max(32, ((4 << 20) // (3 * k)) // 32 * 32))
+    if m % 32 == 0:
+        block_m = _block_div(m, block_m, quantum=32)
+        m_pad = m
+    else:
+        m_pad = _round_up(m, block_m)
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    block_n = _block_div(n, block_n)
+
+    out = pl.pallas_call(
+        _mm_qx_kernel,
+        grid=(m_pad // block_m, n // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, k), jnp.int8),
+                        pltpu.VMEM((block_m, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k * 2 + k * n + m_pad * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, wq, ws.reshape(1, -1).astype(jnp.float32))
+    return out[:m]
+
+
 def quantize_activations(x: jnp.ndarray):
     """Per-row symmetric int8: (..., K) -> ((..., K) i8, (...,) f32 scales)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -177,13 +259,21 @@ def quantize_dit_params_w8a8(params: dict, min_dim: int = 1024) -> dict:
     return convert(params)
 
 
+def _w8a8_matmul_2d(x2d, wq, ws, interpret: bool):
+    """Pick the fused quantizing kernel on TPU, explicit two-step elsewhere."""
+    if not interpret and jax.default_backend() == "tpu":
+        return int8_matmul_qx(x2d, wq, ws)
+    xq, xs = quantize_activations(x2d)
+    return int8_matmul(xq, wq, xs, ws, out_dtype=x2d.dtype,
+                       interpret=interpret)
+
+
 def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
                 bias=None, interpret: bool = False) -> jnp.ndarray:
     """Drop-in linear: quantize activations per token, int8 MXU matmul."""
     lead = x.shape[:-1]
     k = x.shape[-1]
-    xq, xs = quantize_activations(x.reshape(-1, k))
-    out = int8_matmul(xq, wq, xs, ws, out_dtype=x.dtype, interpret=interpret)
+    out = _w8a8_matmul_2d(x.reshape(-1, k), wq, ws, interpret)
     out = out.reshape(*lead, wq.shape[1])
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -201,8 +291,7 @@ def w8a8_double_linear(x: jnp.ndarray, p_a: dict, p_b: dict,
     na = p_a["w8a8"].shape[1]
     wq = jnp.concatenate([p_a["w8a8"], p_b["w8a8"]], axis=1)
     ws = jnp.concatenate([p_a["ws"], p_b["ws"]])
-    xq, xs = quantize_activations(x.reshape(-1, k))
-    out = int8_matmul(xq, wq, xs, ws, out_dtype=x.dtype, interpret=interpret)
+    out = _w8a8_matmul_2d(x.reshape(-1, k), wq, ws, interpret)
     out = out.reshape(*lead, -1)
     a, b = out[..., :na], out[..., na:]
     if p_a.get("b") is not None and "b" in p_a:

@@ -212,3 +212,36 @@ def test_find_model_path(tmp_path, monkeypatch):
     assert find_model_path("missing.safetensors", str(tmp_path)) is None
     dirs = candidate_model_dirs(str(tmp_path))
     assert str(d1) in dirs and str(tmp_path) in dirs
+
+
+def test_workflow_file_execution(monkeypatch, tmp_path):
+    """interfaces/workflow.py runs the node graph from JSON (the standalone
+    equivalent of the reference's example ComfyUI workflows)."""
+    import numpy as np
+
+    from seedvr2_tpu.interfaces import nodes, workflow
+
+    calls = {}
+
+    def fake_upscale(cls=None, **kw):
+        calls.update(kw)
+        return kw["image"] * 2
+
+    monkeypatch.setattr(nodes.SeedVR2VideoUpscaler, "execute",
+                        classmethod(lambda cls, **kw: fake_upscale(**kw)))
+    img = np.ones((2, 8, 8, 3), np.float32)
+    out = workflow.run_workflow_file(
+        "examples/workflows/simple_image.json", {"image": img})
+    assert np.allclose(out["up"], img * 2)
+    assert calls["dit"]["model"].endswith("3b_fp16.safetensors")
+    assert calls["vae"]["model"]  # vae loader dict threaded through
+    assert calls["resolution"] == 1080
+
+    # all shipped workflows parse and resolve node types
+    import glob
+    import json as _json
+
+    for p in glob.glob("examples/workflows/*.json"):
+        wf = _json.load(open(p))
+        for n in wf["nodes"]:
+            workflow._node_class(n["type"])

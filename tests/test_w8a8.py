@@ -30,6 +30,24 @@ def test_int8_matmul_interpret_exact(m, k, n):
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_int8_matmul_qx_interpret_matches_two_step():
+    """In-kernel quantizing matmul == explicit quantize + int8 matmul."""
+    from seedvr2_tpu.ops.int8_matmul import int8_matmul_qx
+
+    rng = np.random.default_rng(4)
+    m, k, n = 96, 512, 256
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)).astype(np.int8))
+    ws = jnp.asarray((rng.random(n).astype(np.float32) * 0.05))
+
+    xq, xs = quantize_activations(x)
+    ref = _ref_int8_matmul(np.asarray(xq), np.asarray(wq),
+                           np.asarray(xs), np.asarray(ws))
+    got = np.asarray(int8_matmul_qx(x, wq, ws, out_dtype=jnp.float32,
+                                    block_m=32, block_n=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_quantize_roundtrip_error_bound():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((100, 256)).astype(np.float32))
