@@ -207,6 +207,7 @@ def configure_runner(
         decode_tiled=decode_tiled, decode_tile_size=decode_tile_size,
         decode_tile_overlap=decode_tile_overlap,
         compute_dtype=compute_dtype,
+        attention_mode=attention_mode,
     )
     if dit_cache and vae_cache:
         cache.set_runner(runner_key, runner)

@@ -37,6 +37,7 @@ class VideoDiffusionRunner:
         decode_tile_size: Tuple[int, int] = (512, 512),
         decode_tile_overlap: Tuple[int, int] = (64, 64),
         compute_dtype=COMPUTE_DTYPE,
+        attention_mode: str = "flash",
     ):
         self.dit_params = dit_params
         self.dit_cfg = dit_cfg
@@ -50,6 +51,7 @@ class VideoDiffusionRunner:
         self.decode_tile_size = decode_tile_size
         self.decode_tile_overlap = decode_tile_overlap
         self.compute_dtype = compute_dtype
+        self.attention_mode = attention_mode
         self.schedule = diffusion.LerpSchedule(config.diffusion.schedule_T)
         self._denoise_cache: Dict[tuple, callable] = {}
         self.mesh = None
@@ -171,9 +173,13 @@ class VideoDiffusionRunner:
                     txt_len_neg: int, steps: int, cfg_scale: float,
                     cfg_rescale: float):
         key = (vid_shape, txt_len_pos, txt_len_neg, steps, cfg_scale,
-               cfg_rescale)
+               cfg_rescale, self.attention_mode)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
+        # trace-time dispatch flag (--attention_mode flash|xla)
+        from ..ops.attention import set_attention_mode
+
+        set_attention_mode(self.attention_mode)
 
         cfg = self.dit_cfg
         plan_pos = build_dit_plan(cfg, vid_shape, txt_len_pos)

@@ -44,6 +44,20 @@ def _flash_available() -> bool:
         return False
 
 
+# process-wide attention mode (reference --attention_mode: flash | xla/sdpa).
+# Read at trace time; the runner re-asserts it before tracing each denoise
+# function and keys its caches on it (core/model_manager.configure_runner).
+_DEFAULT_MODE = "flash"
+
+
+def set_attention_mode(mode: str) -> None:
+    global _DEFAULT_MODE
+    if mode in ("sdpa", "flash_attn"):  # reference aliases
+        mode = "xla" if mode == "sdpa" else "flash"
+    assert mode in ("flash", "xla"), mode
+    _DEFAULT_MODE = mode
+
+
 def attention(q, k, v, scale=None, use_flash: bool = True,
               rope_cos=None, rope_sin=None, table_ids=None, kv_valid=None):
     """Dispatch to the Pallas flash kernel when profitable, else XLA.
@@ -54,7 +68,7 @@ def attention(q, k, v, scale=None, use_flash: bool = True,
      - per-window: (nU, S, D) deduplicated tables with `table_ids` (B,)
        int32 mapping rows to ids and `kv_valid` (nU, S) bool masking padded
        kv slots (uniform window partition, models/dit/windows.py)."""
-    if use_flash and _flash_available():
+    if use_flash and _DEFAULT_MODE == "flash" and _flash_available():
         from .flash_attention import (flash_attention, flash_supported,
                                       flash_windowed_attention)
 

@@ -245,3 +245,37 @@ def test_workflow_file_execution(monkeypatch, tmp_path):
         wf = _json.load(open(p))
         for n in wf["nodes"]:
             workflow._node_class(n["type"])
+
+
+def test_attention_mode_dispatch(monkeypatch):
+    """--attention_mode xla must bypass the flash kernel at trace time."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seedvr2_tpu.ops import attention as attn_mod
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((2, 16, 2, 128)), jnp.float32)
+    called = {"flash": False}
+
+    monkeypatch.setattr(attn_mod, "_flash_available", lambda: True)
+
+    def fake_flash(*a, **k):
+        called["flash"] = True
+        return q
+
+    import seedvr2_tpu.ops.flash_attention as fa
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    monkeypatch.setattr(fa, "flash_supported", lambda *a: True)
+
+    try:
+        attn_mod.set_attention_mode("sdpa")  # reference alias for xla
+        out = attn_mod.attention(q, q, q)
+        assert not called["flash"]
+        attn_mod.set_attention_mode("flash")
+        out2 = attn_mod.attention(q, q, q)
+        assert called["flash"]
+    finally:
+        attn_mod.set_attention_mode("flash")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(q))
+    assert out.shape == q.shape
