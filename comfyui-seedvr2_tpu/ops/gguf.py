@@ -354,7 +354,24 @@ def read_gguf(path: str, keep_q8: bool = False
                 continue
             flat = dequantize(raw, ttype, n_elem)
             # gguf dims are innermost-first; torch layout is the reverse
-            tensors[name] = flat.reshape(torch_shape)
+            w = flat.reshape(torch_shape)
+            if keep_q8 and ttype not in (F32, F16, BF16) and len(dims) == 2 \
+                    and dims[0] % QK == 0 and min(torch_shape) >= 1024:
+                # K-quant formats (Q4_K_M etc.): requantize large linears to
+                # the Q8_0 serving layout so the fused dequant-matmul kernel
+                # applies and a 7B Q4_K_M checkpoint fits one chip's HBM
+                # (bf16 expansion would be 13 GB). The q8 step on top of the
+                # q4 grid adds ~0.1% rel error — far below the q4 error.
+                k, n = torch_shape[1], torch_shape[0]
+                g = w.reshape(n, k // QK, QK).astype(np.float32)
+                scales = np.abs(g).max(axis=2) / 127.0
+                inv = np.where(scales > 0, 1.0 / scales, 0.0)
+                q = np.clip(np.round(g * inv[:, :, None]), -127,
+                            127).astype(np.int8).reshape(n, k)
+                tensors[name] = {"q8": np.ascontiguousarray(q.T),
+                                 "scales": np.ascontiguousarray(scales.T)}
+                continue
+            tensors[name] = w
     return tensors, qtypes, meta
 
 

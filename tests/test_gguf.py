@@ -132,3 +132,48 @@ def test_native_dequant_matches_numpy():
         nat = native.native_dequantize(blocks, qtype)
         ref = my._DEQUANT[qtype](blocks)
         np.testing.assert_allclose(nat, ref, rtol=0, atol=0)
+
+
+def test_keep_q8_requantizes_k_quant_formats(tmp_path):
+    """Q4_K large linears requantize to the Q8_0 serving layout under
+    keep_q8, so Q4_K_M checkpoints serve through the fused dequant-matmul
+    kernel instead of expanding to bf16 (the reference's minimum-VRAM tier,
+    README.md:293). Verified on a synthetic GGUF file end-to-end."""
+    import struct
+
+    import numpy as np
+
+    from seedvr2_tpu.ops import gguf as g
+    from seedvr2_tpu.ops.quant_matmul import dequantize_q8
+
+    K, N = 1024, 1280  # gguf dims innermost-first -> torch (N, K)
+    n_elem = K * N
+    blocks = _make_blocks(my.Q4_K, n_blocks=n_elem // 256, seed=3)
+    name = b"blocks.0.attn.w"
+    path = tmp_path / "q4k.gguf"
+    with open(path, "wb") as f:
+        f.write(b"GGUF")
+        f.write(struct.pack("<I", 3))
+        f.write(struct.pack("<Q", 1))  # tensors
+        f.write(struct.pack("<Q", 1))  # kv
+        key = b"general.alignment"
+        f.write(struct.pack("<Q", len(key)) + key)
+        f.write(struct.pack("<I", 4))
+        f.write(struct.pack("<I", 32))
+        f.write(struct.pack("<Q", len(name)) + name)
+        f.write(struct.pack("<I", 2))
+        f.write(struct.pack("<QQ", K, N))
+        f.write(struct.pack("<I", my.Q4_K))
+        f.write(struct.pack("<Q", 0))
+        pos = f.tell()
+        f.write(b"\0" * ((32 - pos % 32) % 32))
+        f.write(blocks.tobytes())
+
+    full = g.read_gguf(str(path))[0][name.decode()]          # float dequant
+    kept = g.read_gguf(str(path), keep_q8=True)[0][name.decode()]
+    assert set(kept) == {"q8", "scales"}
+    assert kept["q8"].shape == (K, N) and kept["q8"].dtype == np.int8
+    assert kept["scales"].shape == (K // 32, N)
+    back = np.asarray(dequantize_q8(kept["q8"], kept["scales"])).T  # (N, K)
+    denom = np.abs(full).mean() + 1e-9
+    assert np.abs(back - full).mean() / denom < 0.02
