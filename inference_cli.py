@@ -108,7 +108,20 @@ def parse_arguments():
     d.add_argument("--debug", action="store_true")
     d.add_argument("--profile_dir", type=str, default=None,
                    help="capture jax profiler traces per phase")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.resolution <= 0:
+        p.error("--resolution must be positive")
+    if args.max_resolution < 0:
+        p.error("--max_resolution must be >= 0")
+    if args.batch_size < 1:
+        p.error("--batch_size must be >= 1")
+    if args.chunk_size < 0 or args.temporal_overlap < 0:
+        p.error("--chunk_size/--temporal_overlap must be >= 0")
+    if args.chunk_size and args.temporal_overlap >= args.chunk_size:
+        p.error("--temporal_overlap must be smaller than --chunk_size")
+    if args.seed < 0:
+        p.error("--seed must be >= 0")
+    return args
 
 
 def default_output_path(input_path: str, out_format: str) -> str:
