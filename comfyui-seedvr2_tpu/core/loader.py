@@ -16,10 +16,13 @@ into host numpy and transferred to HBM (optionally sharded) in one hop.
 """
 
 import re
+from dataclasses import replace
 from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
+
+from .configs import DiTConfig
 
 _SKIP_PATTERNS = (
     re.compile(r"\.rope\."),
@@ -76,11 +79,12 @@ def convert_state_dict(
             continue
         parts = key.split(".")
         leaf = parts[-1]
-        if isinstance(val, dict) and "q8" in val:
-            # quantized linear weight: merge {"q8","scales"} into the module
-            # node (consumed by ops/layers.linear via the fused kernel)
-            _assign(tree, parts[:-1] + ["q8"], jnp.asarray(val["q8"]))
-            _assign(tree, parts[:-1] + ["scales"], jnp.asarray(val["scales"]))
+        if isinstance(val, dict) and ("q8" in val or "qa" in val):
+            # quantized linear weight: merge {"q8","scales"} (Q8_0 layout)
+            # or {"qa","s","m"} (native K-quant affine layout) into the
+            # module node (consumed by ops/layers.linear via fused kernels)
+            for part, arr in val.items():
+                _assign(tree, parts[:-1] + [part], jnp.asarray(arr))
             continue
         arr = np.asarray(val)
         if leaf == "weight":
@@ -104,6 +108,143 @@ def convert_state_dict(
             arr = jnp.asarray(arr)
         _assign(tree, parts, arr)
     return _listify_blocks(tree)
+
+
+def sniff_dit_config(state: Dict[str, np.ndarray],
+                     base: DiTConfig) -> DiTConfig:
+    """Infer architecture dims from checkpoint tensor shapes.
+
+    The reference resolves the architecture from YAML configs bundled per
+    checkpoint family (model_configuration.py:1099-1121); here the flat key
+    names + shapes determine every dimension, so custom/pruned/tiny
+    checkpoints load without a sidecar config. `base` supplies what shapes
+    cannot express (family, rope/window flavor, patch size). Falls back to
+    `base` unchanged when required tensors are absent (e.g. quantized dict
+    leaves)."""
+    def get(*keys):
+        for k in keys:
+            v = state.get(k)
+            if isinstance(v, np.ndarray):
+                return v
+        return None
+
+    qkv0 = get("blocks.0.attn.proj_qkv.vid.weight",
+               "blocks.0.attn.proj_qkv.all.weight")
+    vid_in = get("vid_in.proj.weight")
+    norm_q = get("blocks.0.attn.norm_q.vid.weight",
+                 "blocks.0.attn.norm_q.all.weight")
+    vid_out = get("vid_out.proj.weight")
+    if qkv0 is None or vid_in is None or norm_q is None or vid_out is None:
+        return base
+
+    D = int(vid_in.shape[0])
+    head_dim = int(norm_q.shape[0])
+    heads = int(qkv0.shape[0]) // 3 // head_dim
+    pt, ph, pw = base.patch_size
+    pprod = pt * ph * pw
+    block_pat = re.compile(r"^blocks\.(\d+)\.")
+    block_ids = {int(m.group(1)) for k in state
+                 for m in [block_pat.match(k)] if m}
+    txt_pat = re.compile(r"^blocks\.(\d+)\.attn\.proj_qkv\.txt\.")
+    txt_blocks = {int(m.group(1)) for k in state
+                  for m in [txt_pat.match(k)] if m}
+    txt_in = get("txt_in.weight")
+    swiglu = any(".proj_in_gate." in k for k in state)
+    mlp_in = get("blocks.0.mlp.vid.proj_in.weight",
+                 "blocks.0.mlp.all.proj_in.weight")
+    expand_ratio = base.expand_ratio
+    if mlp_in is not None:
+        hidden = int(mlp_in.shape[0])
+        if swiglu:
+            from ..ops.layers import swiglu_hidden_dim
+
+            # 256-rounding can map several ratios to one hidden dim at small
+            # D; prefer the family default when it matches
+            for r in (base.expand_ratio, 2, 3, 4, 6, 8):
+                if swiglu_hidden_dim(D, r) == hidden:
+                    expand_ratio = r
+                    break
+        else:
+            expand_ratio = hidden // D
+
+    kwargs = dict(
+        vid_in_channels=int(vid_in.shape[1]) // pprod,
+        vid_out_channels=int(vid_out.shape[0]) // pprod,
+        vid_dim=D,
+        txt_in_dim=int(txt_in.shape[1]) if txt_in is not None else D,
+        heads=heads,
+        head_dim=head_dim,
+        expand_ratio=expand_ratio,
+        qk_bias="blocks.0.attn.proj_qkv.vid.bias" in state
+                or "blocks.0.attn.proj_qkv.all.bias" in state,
+        num_layers=max(block_ids) + 1 if block_ids else base.num_layers,
+        mlp_type="swiglu" if swiglu else "normal",
+        vid_out_norm="vid_out_norm.weight" in state,
+        upscaler=any(k.startswith("emb_scale.") for k in state),
+    )
+    if base.family == "dit_3b":
+        kwargs["mm_layers"] = len(txt_blocks)
+        kwargs["rope_dim"] = head_dim
+    else:
+        kwargs["shared_qkv"] = not txt_blocks
+        kwargs["shared_mlp"] = not any(
+            re.match(r"^blocks\.\d+\.mlp\.txt\.", k) for k in state)
+        kwargs["rope_dim"] = head_dim // 2
+    return replace(base, **kwargs)
+
+
+def sniff_vae_config(state: Dict[str, np.ndarray], base) -> "object":
+    """Infer the VAE architecture from checkpoint tensor shapes (torch-layout
+    keys, after VAE key fixups). Same rationale as sniff_dit_config; the
+    published checkpoint reproduces VAE_V3 exactly."""
+    from .configs import VAEConfig
+
+    def get(k):
+        v = state.get(k)
+        return v if isinstance(v, np.ndarray) else None
+
+    conv_in = get("encoder.conv_in.weight")
+    conv_out = get("encoder.conv_out.weight")
+    if conv_in is None or conv_out is None:
+        return base
+
+    down_pat = re.compile(r"^encoder\.down_blocks\.(\d+)\.")
+    n_blocks = 1 + max({int(m.group(1)) for k in state
+                        for m in [down_pat.match(k)] if m}, default=-1)
+    if n_blocks <= 0:
+        return base
+    chans = []
+    for i in range(n_blocks):
+        w = get(f"encoder.down_blocks.{i}.resnets.0.conv1.weight")
+        if w is None:
+            return base
+        chans.append(int(w.shape[0]))
+    res_pat = re.compile(r"^encoder\.down_blocks\.0\.resnets\.(\d+)\.")
+    layers_per_block = 1 + max(int(m.group(1)) for k in state
+                               for m in [res_pat.match(k)] if m)
+    temporal_scale_num = 0
+    for i in range(n_blocks - 1):
+        w = get(f"encoder.down_blocks.{i}.downsamplers.0.conv.weight")
+        if w is not None and w.ndim == 5 and w.shape[2] == 3:
+            temporal_scale_num += 1
+    gcd = int(np.gcd.reduce(chans))
+    groups = max(g for g in range(1, min(gcd, base.norm_num_groups) + 1)
+                 if gcd % g == 0)
+    return VAEConfig(
+        in_channels=int(conv_in.shape[1]),
+        out_channels=int(get("decoder.conv_out.weight").shape[0])
+        if get("decoder.conv_out.weight") is not None else base.out_channels,
+        latent_channels=int(conv_out.shape[0]) // 2,
+        block_out_channels=tuple(chans),
+        layers_per_block=layers_per_block,
+        norm_num_groups=groups,
+        temporal_scale_num=temporal_scale_num,
+        spatial_downsample_factor=2 ** (n_blocks - 1),
+        temporal_downsample_factor=2 ** temporal_scale_num,
+        slicing_sample_min_size=base.slicing_sample_min_size,
+        scaling_factor=base.scaling_factor,
+        shifting_factor=base.shifting_factor,
+    )
 
 
 def load_safetensors(path: str, dtype=jnp.bfloat16) -> dict:

@@ -23,7 +23,7 @@ from ..models.vae.pipeline_vae import VideoVAE
 from ..utils.debug import NULL_DEBUG, Debug
 from ..utils.dtypes import COMPUTE_DTYPE
 from .configs import DiTConfig, RunnerConfig, VAE_V3, dit_config_for
-from .loader import convert_state_dict
+from .loader import convert_state_dict, sniff_dit_config, sniff_vae_config
 from .model_cache import get_global_cache
 from .runner import VideoDiffusionRunner
 
@@ -64,7 +64,8 @@ def _read_safetensors_numpy(path: str) -> Dict[str, np.ndarray]:
 
 def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
                         keep_quantized: bool = False,
-                        quant: str = "none") -> Tuple[dict, DiTConfig]:
+                        quant: str = "none",
+                        on_host: bool = False) -> Tuple[dict, DiTConfig]:
     """Serving quantization modes (replaces the reference's GGUF/FP8 dequant
     machinery, src/optimization/gguf_dequant.py / compatibility.py):
       - quant="q8" (or keep_quantized=True): large linears stay int8 with
@@ -72,14 +73,23 @@ def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
         (ops/quant_matmul.py). GGUF checkpoints keep their blocks verbatim;
         float checkpoints are post-training quantized.
       - quant="w8a8": per-channel int8 weights + per-token dynamic int8
-        activations on the int8 MXU (ops/int8_matmul.py)."""
+        activations on the int8 MXU (ops/int8_matmul.py).
+      - quant="q4k": GGUF K-quants (Q4_K/Q5_K) serve in their NATIVE affine
+        layout via quant_matmul_affine (no requantization error; Q8_0
+        tensors still use the q8 kernel). Non-GGUF checkpoints fall back
+        to q8 post-training quantization.
+
+    on_host=True leaves the param tree in host RAM (for the BlockSwap
+    streaming path, ops/offload.py)."""
     if keep_quantized and quant == "none":
         quant = "q8"
-    cfg = dit_config_for(os.path.basename(path))
+    base_cfg = dit_config_for(os.path.basename(path))
     if path.endswith(".gguf"):
         from ..ops.gguf import load_gguf_state_dict
 
-        state = load_gguf_state_dict(path, keep_q8=quant in ("q8", "w8a8"))
+        state = load_gguf_state_dict(
+            path, keep_q8=quant in ("q8", "q4k", "w8a8"),
+            native_kquants=quant == "q4k")
     elif path.endswith((".pth", ".pt")):
         import torch
 
@@ -88,31 +98,31 @@ def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
         state = {k: v.float().numpy() for k, v in raw.items()}
     else:
         state = _read_safetensors_numpy(path)
-    if quant in ("w8a8", "q8"):
-        # quantize on the HOST: convert_state_dict places arrays on the
-        # default (TPU) device, and pulling 6.8 GB back through the dev
-        # tunnel for np-side quantization takes tens of minutes. Keep the
-        # whole convert+quantize on CPU, then ship the (2x smaller) int8
-        # tree to the accelerator in one device_put.
-        import jax
+    cfg = sniff_dit_config(state, base_cfg)
 
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = convert_state_dict(state, dtype=dtype)
-            if quant == "w8a8":
-                from ..ops.int8_matmul import quantize_dit_params_w8a8
+    # Convert (and quantize) on the HOST: convert_state_dict places arrays
+    # on the default (TPU) device, and round-tripping multi-GB trees through
+    # the device for np-side work is slow. Ship to the accelerator in one
+    # device_put at the end.
+    import jax
 
-                params = quantize_dit_params_w8a8(params)
-            elif not path.endswith(".gguf"):
-                from ..ops.quant_matmul import quantize_dit_params
-
-                params = quantize_dit_params(params)
-        params = jax.device_put(params, jax.devices()[0])
-    else:
+    with jax.default_device(jax.devices("cpu")[0]):
         params = convert_state_dict(state, dtype=dtype)
+        if quant == "w8a8":
+            from ..ops.int8_matmul import quantize_dit_params_w8a8
+
+            params = quantize_dit_params_w8a8(params)
+        elif quant in ("q8", "q4k") and not path.endswith(".gguf"):
+            from ..ops.quant_matmul import quantize_dit_params
+
+            params = quantize_dit_params(params)
+    if not on_host:
+        params = jax.device_put(params, jax.devices()[0])
     return params, cfg
 
 
-def load_vae_checkpoint(path: str, dtype=COMPUTE_DTYPE) -> dict:
+def load_vae_checkpoint(path: str, dtype=COMPUTE_DTYPE):
+    """Returns (params, VAEConfig) — config sniffed from tensor shapes."""
     state = _read_safetensors_numpy(path)
     fixed = {}
     for key, val in state.items():
@@ -125,7 +135,73 @@ def load_vae_checkpoint(path: str, dtype=COMPUTE_DTYPE) -> dict:
                 any(t in key for t in ("to_q", "to_k", "to_v", "to_out")):
             val = val[:, :, 0, 0]
         fixed[key] = val
-    return convert_state_dict(fixed, dtype=dtype)
+    cfg = sniff_vae_config(fixed, VAE_V3)
+    return convert_state_dict(fixed, dtype=dtype), cfg
+
+
+def _tree_bytes(tree) -> int:
+    import jax
+
+    return sum(x.nbytes for x in jax.tree.leaves(tree))
+
+
+# v5e-class per-chip HBM when the backend doesn't report a limit (the axon
+# tunnel's memory_stats() is empty; real TPU VMs report bytes_limit).
+_DEFAULT_HBM_BYTES = 15_500_000_000
+# fraction of HBM the resident DiT weights may claim before host streaming
+# auto-engages (the rest is activations, VAE weights, and XLA scratch)
+_AUTO_SWAP_FRACTION = 0.70
+# above this fraction, the resident DiT crowds out the VAE decoder's
+# workspace at large tiles -> engage per-phase offload (the reference's
+# manage_model_device policy, memory_manager.py:573-930): DiT leaves HBM
+# during the VAE phases, restored at phase-2 entry
+_PHASE_OFFLOAD_FRACTION = 0.30
+
+
+def _hbm_bytes_limit() -> Optional[int]:
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        return None  # CPU test platform: host RAM, no tiering needed
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:  # noqa: BLE001
+        stats = {}
+    if stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    return _DEFAULT_HBM_BYTES
+
+
+def _plan_block_streaming(dit_params: dict, dit_cfg: DiTConfig,
+                          blocks_to_swap: int, debug: Debug):
+    """Decide host-RAM weight tiering (the reference's BlockSwap,
+    src/optimization/blockswap.py:88-456).
+
+    Returns keep_blocks (blocks pinned in HBM) or None for no streaming.
+    Explicit blocks_to_swap > 0 forces it; otherwise it auto-engages when
+    the weights would crowd out activations (e.g. 7B fp16 = 16.4 GB >
+    15.5 GB HBM)."""
+    n = dit_cfg.num_layers
+    if blocks_to_swap > 0:
+        return max(0, n - min(blocks_to_swap, n))
+    limit = _hbm_bytes_limit()
+    if limit is None:
+        return None
+    total = _tree_bytes(dit_params)
+    if total <= _AUTO_SWAP_FRACTION * limit:
+        return None
+    blocks = dit_params["blocks"]
+    block_bytes = _tree_bytes(blocks[0])
+    io_bytes = total - sum(_tree_bytes(b) for b in blocks)
+    resident_budget = _AUTO_SWAP_FRACTION * limit - io_bytes
+    keep = int(max(0, min(n, resident_budget // max(block_bytes, 1))))
+    debug.log(
+        f"DiT weights {total / 1e9:.1f} GB exceed "
+        f"{_AUTO_SWAP_FRACTION:.0%} of HBM ({limit / 1e9:.1f} GB); "
+        f"auto-engaging host block streaming (keep {keep}/{n} blocks "
+        "resident)", category="blockswap", force=True)
+    return keep
 
 
 def configure_runner(
@@ -146,14 +222,24 @@ def configure_runner(
     compute_dtype=COMPUTE_DTYPE,
     keep_quantized: bool = False,
     quant: str = "none",
+    tile_mode: str = "uniform",
     **_compat_kwargs,
 ) -> VideoDiffusionRunner:
-    """Build (or fetch cached) a fully configured runner for a model pair."""
+    """Build (or fetch cached) a fully configured runner for a model pair.
+
+    The runner cache key covers EVERY knob that shapes the runner (the
+    reference instead diffs stored configs and re-applies on mismatch,
+    model_configuration.py:220-527 — with a total key a config change simply
+    resolves to a different runner, while dit_cache/vae_cache still dedupe
+    the expensive weight loads underneath)."""
+    bs_cfg = dict(block_swap_config or {})
+    blocks_to_swap = int(bs_cfg.get("blocks_to_swap", 0) or 0)
     cache = get_global_cache()
     runner_key = "|".join(map(str, (
         dit_model, vae_model, encode_tiled, encode_tile_size,
         encode_tile_overlap, decode_tiled, decode_tile_size,
-        decode_tile_overlap, attention_mode, keep_quantized, quant)))
+        decode_tile_overlap, attention_mode, keep_quantized, quant,
+        compute_dtype, blocks_to_swap, sorted(bs_cfg.items()), tile_mode)))
     cached = cache.get_runner(runner_key)
     if cached is not None:
         debug.log("Reusing cached runner", category="reuse")
@@ -169,38 +255,60 @@ def configure_runner(
 
     import jax
 
-    dit_params = cache.get_dit(dit_path) if dit_cache else None
-    if dit_params is None:
+    dit_key = f"{dit_path}|{quant}|{keep_quantized}|{compute_dtype}"
+    cached_dit = cache.get_dit(dit_key) if dit_cache else None
+    if cached_dit is None:
         with debug.timer("load_dit", "DiT weights load"):
-            dit_params, dit_cfg = load_dit_checkpoint(
+            # load to host RAM first; the streaming decision below needs the
+            # true param size before anything lands in HBM
+            host_params, dit_cfg = load_dit_checkpoint(
                 dit_path, compute_dtype, keep_quantized=keep_quantized,
-                quant=quant)
-            # force the host->HBM transfer to complete inside the timer
-            # (transfers are async; without this the first jit execution
-            # silently absorbs multi-GB upload time)
-            jax.block_until_ready(dit_params)
+                quant=quant, on_host=True)
         if dit_cache:
-            cache.set_dit(dit_path, dit_params)
+            cache.set_dit(dit_key, (host_params, dit_cfg))
     else:
-        dit_cfg = dit_config_for(os.path.basename(dit_path))
+        host_params, dit_cfg = cached_dit
+
+    keep_blocks = _plan_block_streaming(host_params, dit_cfg, blocks_to_swap,
+                                        debug)
+    streamed_dit = None
+    phase_offload = False
+    if keep_blocks is not None:
+        from ..ops.offload import StreamedNaDiT
+
+        with debug.timer("stream_dit", "DiT resident blocks upload"):
+            streamed_dit = StreamedNaDiT(host_params, dit_cfg,
+                                         keep_blocks=keep_blocks)
+        dit_params = None
+    else:
+        limit = _hbm_bytes_limit()
+        phase_offload = (limit is not None and _tree_bytes(host_params)
+                         > _PHASE_OFFLOAD_FRACTION * limit)
+        if phase_offload:
+            debug.log(
+                "DiT weights large vs HBM: engaging per-phase offload "
+                "(weights leave HBM during the VAE phases)",
+                category="memory")
+            dit_params = None  # uploaded lazily at phase-2 entry
+        else:
+            with debug.timer("upload_dit", "DiT weights host->HBM"):
+                dit_params = jax.device_put(host_params, jax.devices()[0])
+                # force the transfer to complete inside the timer (transfers
+                # are async; without this the first jit execution silently
+                # absorbs multi-GB upload time)
+                jax.block_until_ready(dit_params)
 
     vae = cache.get_vae(vae_path) if vae_cache else None
     if vae is None:
         with debug.timer("load_vae", "VAE weights load"):
-            vae_params = load_vae_checkpoint(vae_path, compute_dtype)
+            vae_params, vae_cfg = load_vae_checkpoint(vae_path, compute_dtype)
             jax.block_until_ready(vae_params)
-        vae = VideoVAE(vae_params, VAE_V3, dtype=compute_dtype)
+        vae = VideoVAE(vae_params, vae_cfg, dtype=compute_dtype)
         if vae_cache:
             cache.set_vae(vae_path, vae)
 
-    if block_swap_config and block_swap_config.get("blocks_to_swap", 0) > 0:
-        debug.log(
-            "BlockSwap requested; TPU HBM holds the full model - ignoring "
-            "(host weight tiering auto-engages only for larger-than-HBM "
-            "models)", category="blockswap", force=True)
-
     runner = VideoDiffusionRunner(
-        dit_params, dit_cfg, vae, RunnerConfig(dit=dit_cfg),
+        dit_params, dit_cfg, vae, RunnerConfig(dit=dit_cfg, vae=vae.cfg),
         debug=debug,
         encode_tiled=encode_tiled, encode_tile_size=encode_tile_size,
         encode_tile_overlap=encode_tile_overlap,
@@ -208,7 +316,11 @@ def configure_runner(
         decode_tile_overlap=decode_tile_overlap,
         compute_dtype=compute_dtype,
         attention_mode=attention_mode,
+        streamed_dit=streamed_dit,
+        tile_mode=tile_mode,
     )
+    if phase_offload:
+        runner.set_phase_offload(host_params)
     if dit_cache and vae_cache:
         cache.set_runner(runner_key, runner)
     return runner

@@ -151,6 +151,7 @@ def encode_all_batches(
 ) -> Dict[str, Any]:
     """Phase 1: VAE-encode all batches (generation_phases.py:171-535)."""
     debug.start_timer("phase1_encoding")
+    runner.release_dit()  # VAE phase: HBM belongs to the encoder
     total = len(images)
     ctx.update(input_images=images, total_frames=total, resolution=resolution,
                max_resolution=max_resolution, seed=seed,
@@ -171,42 +172,60 @@ def encode_all_batches(
 
     key = jax.random.PRNGKey(seed + 1_000_000)  # VAE key discipline
 
-    for bi, (start, end) in enumerate(batches):
-        _check_interrupt(ctx)
-        ori_length = end - start
-        uniform_pad = (batch_size - ori_length
-                       if uniform_batch_size and ori_length < batch_size else 0)
-        video = _prepare_batch(images, start, end, uniform_pad)
-        ctx["all_ori_lengths"].append(ori_length)
-        ctx["batch_metadata"].append((start, end, uniform_pad))
+    # dp-sized waves: same-shape batches VAE-encode as ONE sharded call over
+    # the mesh 'dp' axis (temporal parallelism — batches are causally
+    # independent by the 4n+1 padding design; runner._batched_waves)
+    dp = (runner.mesh.shape.get("dp", 1)
+          if runner.mesh is not None and not runner.encode_tiled else 1)
+    chunk = max(dp, 1)
+    ctx["all_latents"] = [None] * len(batches)
+    for c0 in range(0, len(batches), chunk):
+        wave = list(range(c0, min(c0 + chunk, len(batches))))
+        transformed_wave = []
+        for bi in wave:
+            _check_interrupt(ctx)
+            start, end = batches[bi]
+            ori_length = end - start
+            uniform_pad = (batch_size - ori_length
+                           if uniform_batch_size and ori_length < batch_size
+                           else 0)
+            video = _prepare_batch(images, start, end, uniform_pad)
+            ctx["all_ori_lengths"].append(ori_length)
+            ctx["batch_metadata"].append((start, end, uniform_pad))
 
-        if ctx["is_rgba"]:
-            ctx["all_alpha_channels"].append(video[..., 3:4].copy())
-            ctx["all_input_rgb"].append(video[..., :3].copy())
-            rgb = video[..., :3]
-        else:
-            rgb = video
+            if ctx["is_rgba"]:
+                ctx["all_alpha_channels"].append(video[..., 3:4].copy())
+                ctx["all_input_rgb"].append(video[..., :3].copy())
+                rgb = video[..., :3]
+            else:
+                rgb = video
 
-        debug.start_timer(f"transform_{bi}")
-        transformed = _transform_batch(ctx, rgb)
-        if debug.enabled:
-            jax.block_until_ready(transformed)
-        debug.end_timer(f"transform_{bi}", f"transform batch {bi}")
-        if input_noise_scale > 0:
-            nkey = jax.random.fold_in(key, bi)
-            noise = jax.random.normal(nkey, transformed.shape,
-                                      transformed.dtype) * 0.05
-            blend = input_noise_scale * 0.5
-            transformed = transformed * (1 - blend) + (transformed + noise) * blend
+            debug.start_timer(f"transform_{bi}")
+            transformed = _transform_batch(ctx, rgb)
+            if debug.enabled:
+                jax.block_until_ready(transformed)
+            debug.end_timer(f"transform_{bi}", f"transform batch {bi}")
+            if input_noise_scale > 0:
+                nkey = jax.random.fold_in(key, bi)
+                noise = jax.random.normal(nkey, transformed.shape,
+                                          transformed.dtype) * 0.05
+                blend = input_noise_scale * 0.5
+                transformed = (transformed * (1 - blend)
+                               + (transformed + noise) * blend)
+            transformed_wave.append(transformed.astype(runner.compute_dtype))
 
-        debug.start_timer(f"vae_encode_{bi}")
-        latent = runner.vae_encode([transformed.astype(runner.compute_dtype)])[0]
-        ctx["all_latents"].append(jax.device_get(latent))
-        debug.end_timer(f"vae_encode_{bi}", f"vae encode batch {bi}")
+        debug.start_timer(f"vae_encode_{c0}")
+        latents = runner.vae_encode(transformed_wave)
+        for bi, latent in zip(wave, latents):
+            ctx["all_latents"][bi] = jax.device_get(latent)
+        debug.end_timer(f"vae_encode_{c0}",
+                        f"vae encode batches {wave[0]}-{wave[-1]}")
         ctx["encode_tile_boundaries"] = list(
             getattr(runner.vae, "last_encode_tiles", []))
         if progress_callback:
-            progress_callback(bi + 1, len(batches), end - start,
+            progress_callback(wave[-1] + 1, len(batches),
+                              sum(e - s for s, e in
+                                  (batches[i] for i in wave)),
                               "Phase 1: Encoding")
     debug.end_timer("phase1_encoding", "Phase 1: VAE encoding complete")
     return ctx
@@ -231,10 +250,9 @@ def upscale_all_batches(
         ctx["text_embeds"] = load_text_embeddings(
             [ctx.get("model_dir"), "."], debug)
 
-    ctx["all_upscaled_latents"] = []
     n = len(ctx["all_latents"])
+    noises, conds = [], []
     for bi, latent in enumerate(ctx["all_latents"]):
-        _check_interrupt(ctx)
         latent = jnp.asarray(latent, dtype=runner.compute_dtype)
         # identical RNG per batch: same seed -> same noise (phase2 :659)
         key = jax.random.PRNGKey(seed)
@@ -251,18 +269,54 @@ def upscale_all_batches(
         else:
             blurred = latent
         noise = base_noise.astype(runner.compute_dtype)
-        cond = runner.get_condition(noise, blurred.astype(runner.compute_dtype))
-        out = runner.inference(
-            noises=[noise], conditions=[cond],
-            texts_pos=[ctx["text_embeds"]["pos"]],
-            texts_neg=[ctx["text_embeds"]["neg"]],
-            cfg_scale=1.0, steps=1,
-        )[0]
-        ctx["all_upscaled_latents"].append(jax.device_get(out))
+        conds.append(runner.get_condition(
+            noise, blurred.astype(runner.compute_dtype)))
+        noises.append(noise)
         ctx["all_latents"][bi] = None
-        if progress_callback:
-            progress_callback(bi + 1, n, 1, "Phase 2: Upscaling")
+
+    # Real DiT-phase data parallelism (replaces the reference's per-GPU
+    # frame-range fan-out, inference_cli.py:1048-1214): same-shape temporal
+    # batches are stacked into ONE sharded inference call per dp-sized chunk
+    # so b=dp shards over the mesh 'dp' axis; the tail chunk is padded by
+    # replicating its last batch and the padding is dropped after.
+    dp = runner.mesh.shape.get("dp", 1) if runner.mesh is not None else 1
+    chunk = max(dp, 1)
+    groups: Dict[tuple, list] = {}
+    for i, x in enumerate(noises):
+        groups.setdefault(x.shape, []).append(i)
+    results: list = [None] * n
+    done = 0
+    for idxs in groups.values():
+        for c0 in range(0, len(idxs), chunk):
+            _check_interrupt(ctx)
+            call_idx = idxs[c0:c0 + chunk]
+            real = len(call_idx)
+            pad = (-real) % chunk
+            call_idx = call_idx + [call_idx[-1]] * pad
+            outs = runner.inference(
+                noises=[noises[i] for i in call_idx],
+                conditions=[conds[i] for i in call_idx],
+                texts_pos=[ctx["text_embeds"]["pos"]],
+                texts_neg=[ctx["text_embeds"]["neg"]],
+                cfg_scale=1.0, steps=1,
+            )
+            for j in range(real):
+                results[call_idx[j]] = jax.device_get(outs[j])
+            done += real
+            if progress_callback:
+                progress_callback(done, n, real, "Phase 2: Upscaling")
+    ctx["all_upscaled_latents"] = results
     ctx["all_latents"] = []
+    if runner.streamed_dit is not None:
+        s = runner.streamed_dit.stats.summary()
+        if s.get("total_swaps"):
+            debug.log(
+                f"BlockSwap: {s['block_swaps']} swaps, stall "
+                f"avg {s['block_avg_ms']:.1f} ms / max "
+                f"{s['block_max_ms']:.1f} ms (one un-prefetched transfer = "
+                f"{s['measured_transfer_ms']:.1f} ms, "
+                f"{s['block_bytes'] / 1e6:.0f} MB/block)",
+                category="blockswap", force=True)
     debug.end_timer("phase2_upscaling", "Phase 2: DiT upscaling complete")
     return ctx
 
@@ -277,6 +331,7 @@ def decode_all_batches(
     """Phase 3: VAE decode into a preallocated host buffer with in-place
     overlap blending (generation_phases.py:802-1046)."""
     debug.start_timer("phase3_decoding")
+    runner.release_dit()  # VAE phase: HBM belongs to the decoder
     true_h, true_w = ctx["true_target_dims"]
     total = ctx["total_frames"]
     channels = 4 if ctx.get("is_rgba") else 3
@@ -286,28 +341,38 @@ def decode_all_batches(
     write_idx = 0
     ctx["decode_batch_info"] = []
     n = len(ctx["all_upscaled_latents"])
-    for bi, latent in enumerate(ctx["all_upscaled_latents"]):
+    # dp-sized waves: decode same-shape batches as one sharded call
+    # (temporal parallelism over the mesh; runner._batched_waves), then
+    # blend sequentially in batch order into the preallocated buffer
+    dp = (runner.mesh.shape.get("dp", 1)
+          if runner.mesh is not None and not runner.decode_tiled else 1)
+    chunk = max(dp, 1)
+    for c0 in range(0, n, chunk):
         _check_interrupt(ctx)
-        sample = runner.vae_decode([jnp.asarray(latent)])[0]
-        sample = np.asarray(jax.device_get(sample), dtype=np.float32)
-        ori = ctx["all_ori_lengths"][bi]
-        sample = sample[:ori, :true_h, :true_w]
+        wave = list(range(c0, min(c0 + chunk, n)))
+        samples = runner.vae_decode(
+            [jnp.asarray(ctx["all_upscaled_latents"][bi]) for bi in wave])
+        for bi, sample in zip(wave, samples):
+            sample = np.asarray(jax.device_get(sample), dtype=np.float32)
+            ori = ctx["all_ori_lengths"][bi]
+            sample = sample[:ori, :true_h, :true_w]
 
-        if bi > 0 and overlap > 0 and overlap < sample.shape[0] \
-                and write_idx >= overlap:
-            prev_tail = final[write_idx - overlap: write_idx, :, :, :3]
-            blended = blend_overlapping_frames(prev_tail, sample[:overlap],
-                                               overlap)
-            final[write_idx - overlap: write_idx, :, :, :3] = blended
-            sample = sample[overlap:]
+            if bi > 0 and overlap > 0 and overlap < sample.shape[0] \
+                    and write_idx >= overlap:
+                prev_tail = final[write_idx - overlap: write_idx, :, :, :3]
+                blended = blend_overlapping_frames(prev_tail,
+                                                   sample[:overlap], overlap)
+                final[write_idx - overlap: write_idx, :, :, :3] = blended
+                sample = sample[overlap:]
 
-        end = write_idx + sample.shape[0]
-        final[write_idx:end, :, :, :3] = sample
-        ctx["decode_batch_info"].append((write_idx, end, bi, ori))
-        write_idx = end
-        ctx["all_upscaled_latents"][bi] = None
+            end = write_idx + sample.shape[0]
+            final[write_idx:end, :, :, :3] = sample
+            ctx["decode_batch_info"].append((write_idx, end, bi, ori))
+            write_idx = end
+            ctx["all_upscaled_latents"][bi] = None
         if progress_callback:
-            progress_callback(bi + 1, n, 1, "Phase 3: Decoding")
+            progress_callback(wave[-1] + 1, n, len(wave),
+                              "Phase 3: Decoding")
 
     ctx["final_video"] = final[:write_idx]
     ctx["all_upscaled_latents"] = []

@@ -38,7 +38,17 @@ class VideoDiffusionRunner:
         decode_tile_overlap: Tuple[int, int] = (64, 64),
         compute_dtype=COMPUTE_DTYPE,
         attention_mode: str = "flash",
+        streamed_dit=None,
+        tile_mode: str = "uniform",
     ):
+        # tile_mode: "uniform" = even same-shape tile grid (one compile
+        # shape, minimal redundant compute; models/vae/pipeline_vae._plan_
+        # grid); "ref" = the reference's stride-sweep layout.
+        self.tile_mode = tile_mode
+        # streamed_dit: ops.offload.StreamedNaDiT for larger-than-HBM models
+        # (the reference's BlockSwap); when set, dit_params stays None and
+        # the denoise loop streams transformer blocks from host RAM.
+        self.streamed_dit = streamed_dit
         self.dit_params = dit_params
         self.dit_cfg = dit_cfg
         self.vae = vae
@@ -55,6 +65,41 @@ class VideoDiffusionRunner:
         self.schedule = diffusion.LerpSchedule(config.diffusion.schedule_T)
         self._denoise_cache: Dict[tuple, callable] = {}
         self.mesh = None
+        # telemetry: per-call DiT batch sizes (observed by tests/debug to
+        # prove the phase-2 dp sharding actually stacks batches)
+        self.last_batch_sizes: List[int] = []
+
+    # ------------------------------------------------- phase model offload
+
+    def set_phase_offload(self, dit_host_params):
+        """Enable per-phase DiT offload (the TPU equivalent of the
+        reference's manage_model_device, memory_manager.py:573-930): the
+        DiT weights leave HBM during the VAE phases so the decoder's
+        workspace fits, and are re-uploaded from the retained host tree at
+        phase-2 entry. Engaged by configure_runner when the resident DiT
+        would crowd out the VAE decode at large resolutions."""
+        self._dit_host = dit_host_params
+        self.phase_offload = True
+
+    def ensure_dit_resident(self):
+        if getattr(self, "phase_offload", False) and self.dit_params is None:
+            with self.debug.timer("dit_restore", "DiT restore to HBM"):
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    self.dit_params = jax.device_put(
+                        self._dit_host, NamedSharding(self.mesh, P()))
+                else:
+                    self.dit_params = jax.device_put(self._dit_host,
+                                                     jax.devices()[0])
+                jax.block_until_ready(self.dit_params)
+
+    def release_dit(self):
+        """Drop the DiT from HBM (host tree retained). No-op unless phase
+        offload is engaged."""
+        if getattr(self, "phase_offload", False) and \
+                self.dit_params is not None:
+            self.dit_params = None
 
     def attach_mesh(self, mesh):
         """Enable multi-chip data-parallel inference: params replicate across
@@ -63,8 +108,9 @@ class VideoDiffusionRunner:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.mesh = mesh
-        self.dit_params = jax.device_put(
-            self.dit_params, NamedSharding(mesh, P()))
+        if self.dit_params is not None:
+            self.dit_params = jax.device_put(
+                self.dit_params, NamedSharding(mesh, P()))
         if self.vae is not None:
             self.vae.params = jax.device_put(
                 self.vae.params, NamedSharding(mesh, P()))
@@ -79,66 +125,102 @@ class VideoDiffusionRunner:
         return ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
                 or "Ran out of memory" in msg)
 
+    _MIN_TILE = 256
+
+    def _vae_call_with_oom_retry(self, kind: str, run_one) -> jnp.ndarray:
+        """HBM-OOM resilience (the TPU analogue of the reference's
+        retry_on_oom + memory_limit_conv recursive splitting,
+        memory_manager.py:350-392, causal_inflation_lib.py:115-212): on
+        RESOURCE_EXHAUSTED first engage spatial tiling, then progressively
+        shrink the tile (x0.7 per side, floor 256 px) — at 4K with the DiT
+        resident the decoder needs ~<=900^2 tiles on a 16 GB chip."""
+        tiled = getattr(self, f"{kind}_tiled")
+        tile_size = getattr(self, f"{kind}_tile_size")
+        for _ in range(8):
+            try:
+                return run_one(tiled, tile_size)
+            except Exception as e:  # noqa: BLE001
+                if not self._is_oom(e):
+                    raise
+                if tiled:
+                    if min(tile_size) <= self._MIN_TILE:
+                        raise
+                    tile_size = tuple(
+                        max(self._MIN_TILE, int(t * 0.7) // 64 * 64)
+                        for t in tile_size)
+                tiled = True
+                self.debug.log(
+                    f"HBM OOM during VAE {kind}; retrying with tiling "
+                    f"{tile_size}", level="WARNING", category="vae",
+                    force=True)
+                setattr(self, f"{kind}_tiled", tiled)
+                setattr(self, f"{kind}_tile_size", tile_size)
+        raise RuntimeError(f"VAE {kind} kept OOMing down to {tile_size}")
+
+    def _batched_waves(self, items: List[jnp.ndarray], tiled: bool):
+        """Temporal parallelism for the VAE phases: batches are
+        state-independent by construction (each is 4n+1 mirror-padded and
+        encoded/decoded with fresh causal state, matching the reference's
+        per-batch loop, generation_phases.py:171+), so same-shape batches
+        stack on the batch axis and shard over the mesh 'dp' axis — the
+        exact-parity replacement for the reference's per-GPU frame-range
+        fan-out AND for its (stubbed) per-conv cache_send_recv halo
+        (context_parallel_lib.py:55-67). When tiling is on, parallelism
+        comes from the tile axis instead (VideoVAE._tile_map), so waves
+        stay size 1. Yields (original_indices, stacked_batch)."""
+        dp = 1
+        if self.mesh is not None and not tiled:
+            dp = self.mesh.shape.get("dp", 1)
+        groups: Dict[tuple, list] = {}
+        for i, x in enumerate(items):
+            groups.setdefault(tuple(x.shape), []).append(i)
+        for idxs in groups.values():
+            for c0 in range(0, len(idxs), dp):
+                wave = idxs[c0:c0 + dp]
+                pad = (-len(wave)) % dp
+                sel = wave + [wave[-1]] * pad
+                batch = jnp.stack([items[i] for i in sel])
+                if dp > 1:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    batch = jax.device_put(batch,
+                                           NamedSharding(self.mesh, P("dp")))
+                yield wave, batch
+
     def vae_encode(self, samples: List[jnp.ndarray]) -> List[jnp.ndarray]:
         """samples: list of (T, H, W, 3) in [-1, 1] -> latents (Tl, h, w, 16)
-        scaled by the VAE scaling factor (infer.py:117-188).
-
-        HBM-OOM resilience (the TPU analogue of the reference's retry_on_oom,
-        memory_manager.py:350-392): on RESOURCE_EXHAUSTED the call retries
-        once with spatial tiling engaged."""
+        scaled by the VAE scaling factor (infer.py:117-188)."""
         scale = self.config.vae.scaling_factor
         shift = self.config.vae.shifting_factor
-        out = []
-        for sample in samples:
-            try:
-                lat = self.vae.encode(
-                    sample[None], tiled=self.encode_tiled,
-                    tile_size=self.encode_tile_size,
+        out: List[jnp.ndarray] = [None] * len(samples)
+        for wave, batch in self._batched_waves(samples, self.encode_tiled):
+            lat = self._vae_call_with_oom_retry(
+                "encode",
+                lambda tiled, ts, b=batch: self.vae.encode(
+                    b, tiled=tiled, tile_size=ts,
                     tile_overlap=self.encode_tile_overlap,
-                )[0]
-            except Exception as e:  # noqa: BLE001
-                if not self._is_oom(e) or self.encode_tiled:
-                    raise
-                self.debug.log(
-                    "HBM OOM during VAE encode; retrying with tiling "
-                    f"{self.encode_tile_size}", level="WARNING",
-                    category="vae", force=True)
-                self.encode_tiled = True
-                lat = self.vae.encode(
-                    sample[None], tiled=True,
-                    tile_size=self.encode_tile_size,
-                    tile_overlap=self.encode_tile_overlap,
-                )[0]
-            out.append(((lat.astype(jnp.float32) - shift) * scale)
-                       .astype(self.compute_dtype))
+                    tile_mode=self.tile_mode))
+            lat = ((lat.astype(jnp.float32) - shift) * scale).astype(
+                self.compute_dtype)
+            for j, i in enumerate(wave):
+                out[i] = lat[j]
         return out
 
     def vae_decode(self, latents: List[jnp.ndarray]) -> List[jnp.ndarray]:
         scale = self.config.vae.scaling_factor
         shift = self.config.vae.shifting_factor
-        out = []
-        for lat in latents:
-            z = (lat.astype(jnp.float32) / scale + shift)
-            try:
-                sample = self.vae.decode(
-                    z[None].astype(self.vae.dtype), tiled=self.decode_tiled,
-                    tile_size=self.decode_tile_size,
+        zs = [(jnp.asarray(lat).astype(jnp.float32) / scale + shift)
+              .astype(self.vae.dtype) for lat in latents]
+        out: List[jnp.ndarray] = [None] * len(latents)
+        for wave, batch in self._batched_waves(zs, self.decode_tiled):
+            sample = self._vae_call_with_oom_retry(
+                "decode",
+                lambda tiled, ts, b=batch: self.vae.decode(
+                    b, tiled=tiled, tile_size=ts,
                     tile_overlap=self.decode_tile_overlap,
-                )[0]
-            except Exception as e:  # noqa: BLE001
-                if not self._is_oom(e) or self.decode_tiled:
-                    raise
-                self.debug.log(
-                    "HBM OOM during VAE decode; retrying with tiling "
-                    f"{self.decode_tile_size}", level="WARNING",
-                    category="vae", force=True)
-                self.decode_tiled = True
-                sample = self.vae.decode(
-                    z[None].astype(self.vae.dtype), tiled=True,
-                    tile_size=self.decode_tile_size,
-                    tile_overlap=self.decode_tile_overlap,
-                )[0]
-            out.append(sample)
+                    tile_mode=self.tile_mode))
+            for j, i in enumerate(wave):
+                out[i] = sample[j]
         return out
 
     # ----------------------------------------------------------- condition
@@ -189,6 +271,38 @@ class VideoDiffusionRunner:
         schedule = self.schedule
         pred_type = self.config.diffusion.prediction_type
 
+        if self.streamed_dit is not None:
+            # BlockSwap path: the block loop runs at the host level (each
+            # block is its own jitted fn; ops/offload.py), so the denoise
+            # loop is host-driven too — the small Euler/CFG algebra between
+            # DiT calls is plain jnp ops.
+            sd = self.streamed_dit
+
+            def streamed_f(x, cond, txt_pos, txt_neg, t):
+                vid_in = jnp.concatenate([x, cond], axis=-1)
+                tt = jnp.full((x.shape[0],), t, dtype=jnp.float32)
+                pos = sd(vid_in, txt_pos, tt, plan_pos)
+                if cfg_scale == 1.0:
+                    return pos
+                neg = sd(vid_in, txt_neg, tt, plan_neg)
+                return diffusion.classifier_free_guidance(
+                    pos, neg, cfg_scale, cfg_rescale)
+
+            def streamed_denoise(params, noise, cond, txt_pos, txt_neg):
+                del params  # weights live inside streamed_dit
+                x = noise
+                ts = [float(t) for t in timesteps]
+                for t, s in zip(ts[:-1], ts[1:]):
+                    pred = streamed_f(x, cond, txt_pos, txt_neg, t)
+                    x = diffusion.euler_step_to(schedule, pred, x, t, s,
+                                                pred_type)
+                pred = streamed_f(x, cond, txt_pos, txt_neg, ts[-1])
+                x0, _ = schedule.convert_from_pred(pred, pred_type, x, ts[-1])
+                return x0
+
+            self._denoise_cache[key] = streamed_denoise
+            return streamed_denoise
+
         def f(params, x, cond, txt_pos, txt_neg, t):
             B = x.shape[0]
             vid_in = jnp.concatenate([x, cond], axis=-1)
@@ -229,6 +343,7 @@ class VideoDiffusionRunner:
         call is batched into one jitted execution)."""
         if not noises:
             return []
+        self.ensure_dit_resident()
         if cfg_scale is None:
             cfg_scale = self.config.diffusion.cfg_scale
         if steps is None:
@@ -246,6 +361,7 @@ class VideoDiffusionRunner:
         noise_b = jnp.stack(noises).astype(self.compute_dtype)
         cond_b = jnp.stack(conditions).astype(self.compute_dtype)
         b = noise_b.shape[0]
+        self.last_batch_sizes.append(b)
         txt_pos_b = jnp.broadcast_to(txt_pos[None], (b, *txt_pos.shape))
         txt_neg_b = jnp.broadcast_to(txt_neg[None], (b, *txt_neg.shape))
 

@@ -57,7 +57,7 @@ class SeedVR2LoadVAEModel:
                 encode_tiled: bool = False, encode_tile_size: int = 512,
                 encode_tile_overlap: int = 64, decode_tiled: bool = False,
                 decode_tile_size: int = 512, decode_tile_overlap: int = 64,
-                tile_debug: str = "false",
+                tile_debug: str = "false", tile_mode: str = "uniform",
                 torch_compile_args: Optional[Dict[str, Any]] = None
                 ) -> Dict[str, Any]:
         if cache_model and offload_device == "none":
@@ -74,6 +74,7 @@ class SeedVR2LoadVAEModel:
             "decode_tile_size": decode_tile_size,
             "decode_tile_overlap": decode_tile_overlap,
             "tile_debug": tile_debug,
+            "tile_mode": tile_mode,
             "torch_compile_args": torch_compile_args,
         }
 
@@ -140,6 +141,7 @@ class SeedVR2VideoUpscaler:
             decode_tile_overlap=(vae.get("decode_tile_overlap", 64),) * 2,
             attention_mode=dit.get("attention_mode", "flash"),
             quant=dit.get("quant", "none"),
+            tile_mode=vae.get("tile_mode", "uniform"),
         )
 
         frames = np.asarray(image, dtype=np.float32)

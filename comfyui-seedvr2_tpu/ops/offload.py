@@ -27,10 +27,21 @@ from .gather import gather_rows
 
 
 class SwapStats:
+    """Swap telemetry (mirrors the reference's debug.get_swap_summary,
+    src/utils/debug.py:662-736).
+
+    `record` times are TRUE transfer stalls: the wall time spent blocked on
+    `jax.block_until_ready` for a block whose host->HBM copy was dispatched
+    one block-compute earlier (so ~0 means the prefetch fully hid the copy).
+    `measured_transfer_ms` is one synchronous full-block upload measured at
+    init — the un-hidden cost of a single swap."""
+
     def __init__(self):
         self.block_swaps = 0
         self.block_total_ms = 0.0
         self.block_times: List[float] = []
+        self.measured_transfer_ms = 0.0
+        self.block_bytes = 0
 
     def record(self, ms: float):
         self.block_swaps += 1
@@ -47,6 +58,9 @@ class SwapStats:
             "block_avg_ms": self.block_total_ms / self.block_swaps,
             "block_min_ms": min(self.block_times),
             "block_max_ms": max(self.block_times),
+            "block_stall_total_ms": self.block_total_ms,
+            "measured_transfer_ms": self.measured_transfer_ms,
+            "block_bytes": self.block_bytes,
         }
 
 
@@ -74,6 +88,16 @@ class StreamedNaDiT:
             {k: v for k, v in params.items() if k != "blocks"}, self.device)
 
         self._block_fns: Dict[Tuple, callable] = {}
+        if self.host_blocks:
+            self.stats.block_bytes = sum(
+                x.nbytes for x in jax.tree.leaves(self.host_blocks[0]))
+            # measure one synchronous upload so telemetry separates "cost of
+            # a swap" from "stall after prefetch"
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                jax.device_put(self.host_blocks[0], self.device))
+            self.stats.measured_transfer_ms = (
+                time.perf_counter() - t0) * 1000.0
 
     def _block_fn(self, i: int, plan: DiTPlan, order: str):
         cfg = self.cfg
@@ -92,7 +116,8 @@ class StreamedNaDiT:
         return self._block_fns[key]
 
     def __call__(self, vid: jnp.ndarray, txt: jnp.ndarray,
-                 timestep: jnp.ndarray, plan: DiTPlan) -> jnp.ndarray:
+                 timestep: jnp.ndarray, plan: DiTPlan,
+                 downscale=None) -> jnp.ndarray:
         cfg = self.cfg
         params = self.io_params
         B, T = vid.shape[0], vid.shape[1]
@@ -101,6 +126,9 @@ class StreamedNaDiT:
         x = linear(x, params["vid_in"]["proj"])
         xt = linear(txt, params["txt_in"]) if "txt_in" in params else txt
         emb = _time_embedding(params["emb_in"], timestep, x.dtype)
+        if "emb_scale" in params and downscale is not None:
+            emb = emb + _time_embedding(params["emb_scale"], downscale,
+                                        x.dtype)
         emb_r = emb.reshape(B, cfg.vid_dim, 2, 3).astype(jnp.float32)
         emb_attn, emb_mlp = emb_r[..., 0, :], emb_r[..., 1, :]
 
@@ -114,11 +142,14 @@ class StreamedNaDiT:
                 blk = self.resident[i]
             else:
                 hi = i - self.keep_blocks
-                t0 = time.perf_counter()
                 blk = pending
                 if hi + 1 < n_host:
+                    # dispatch the NEXT block's copy before waiting on this
+                    # one so the transfer overlaps this block's compute
                     pending = jax.device_put(self.host_blocks[hi + 1],
                                              self.device)
+                t0 = time.perf_counter()
+                jax.block_until_ready(blk)  # true transfer stall
                 self.stats.record((time.perf_counter() - t0) * 1000.0)
             x, xt = self._block_fn(i, plan, order)(blk, x, xt, emb_attn,
                                                    emb_mlp)

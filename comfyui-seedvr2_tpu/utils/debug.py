@@ -118,5 +118,74 @@ class Debug:
             parts.append(f"RAM {s['ram_used_gb']:.1f}/{s['ram_total_gb']:.1f}GB")
         self.log(f"{label}: {', '.join(parts)}", category="memory")
 
+    # ------------------------------------------ checkpoints / env / summary
+
+    def checkpoint(self, label: str) -> Dict[str, float]:
+        """Named memory checkpoint with deltas vs the previous checkpoint
+        (reference debug.py:346-592 memory checkpoints/diffs)."""
+        state = self.memory_state()
+        if not hasattr(self, "_checkpoints"):
+            self._checkpoints: List = []
+        prev = self._checkpoints[-1][1] if self._checkpoints else {}
+        self._checkpoints.append((label, state))
+        if self.enabled:
+            deltas = []
+            for key, short in (("hbm_used_gb", "HBM"), ("ram_used_gb", "RAM")):
+                if key in state and key in prev:
+                    deltas.append(f"{short} {state[key] - prev[key]:+.2f}GB")
+            extra = f" (delta {', '.join(deltas)})" if deltas else ""
+            self.log_memory_state(f"checkpoint[{label}]")
+            if extra:
+                self.log(f"checkpoint[{label}]{extra}", category="memory")
+        return state
+
+    def log_environment(self):
+        """Environment header (reference debug.py:153-214)."""
+        if not self.enabled:
+            return
+        import platform
+
+        parts = [f"python {platform.python_version()}",
+                 platform.platform(terse=True)]
+        try:
+            import jax
+
+            parts.append(f"jax {jax.__version__}")
+            devs = jax.local_devices()
+            parts.append(f"backend {jax.default_backend()} "
+                         f"({len(devs)}x {devs[0].device_kind})")
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            import numpy as _np
+
+            parts.append(f"numpy {_np.__version__}")
+        except Exception:  # noqa: BLE001
+            pass
+        self.log(" | ".join(parts), category="env", force=True)
+
+    def summary(self, swap_stats: Optional[Dict] = None):
+        """End-of-job summary: peak memory + phase timer totals + swap
+        telemetry (reference debug.py:594-736)."""
+        if not self.enabled:
+            return
+        s = self.memory_state()
+        if "hbm_peak_gb" in s and s["hbm_peak_gb"]:
+            self.log(f"peak HBM {s['hbm_peak_gb']:.2f}GB "
+                     f"of {s.get('hbm_limit_gb', 0):.2f}GB",
+                     category="summary")
+        phases = [(n, t) for n, t in self._elapsed.items()
+                  if n.startswith("phase")]
+        total = sum(t for _, t in phases)
+        for name, t in phases:
+            self.log(f"{name}: {t:.2f}s ({t / total:.0%})"
+                     if total else f"{name}: {t:.2f}s", category="summary")
+        if swap_stats and swap_stats.get("total_swaps"):
+            self.log(
+                f"blockswap: {swap_stats['block_swaps']} swaps, "
+                f"stall avg {swap_stats.get('block_avg_ms', 0):.1f}ms, "
+                f"one transfer {swap_stats.get('measured_transfer_ms', 0):.1f}ms",
+                category="summary")
+
 
 NULL_DEBUG = Debug(enabled=False)

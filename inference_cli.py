@@ -13,7 +13,8 @@ TPU-specific changes vs the reference:
    seedvr2_tpu/parallel). Frame-parallel chunk fan-out over mesh 'dp' comes
    from the same batch path.
  - --compile_* flags are accepted but no-ops: everything is jit-compiled.
- - BlockSwap flags are accepted; HBM fits the shipped models.
+ - --blocks_to_swap engages host-RAM block streaming (ops/offload.py); it
+   also auto-engages when the DiT weights would not fit HBM (7B fp16).
 """
 
 import argparse
@@ -37,7 +38,8 @@ def parse_arguments():
     p = argparse.ArgumentParser(
         description="SeedVR2 TPU video/image upscaler")
     io = p.add_argument_group("Input/Output")
-    io.add_argument("input", type=str, help="video, image, or directory")
+    io.add_argument("input", type=str, nargs="?", default=None,
+                    help="video, image, or directory")
     io.add_argument("--output", type=str, default=None)
     io.add_argument("--output_format", type=str, default=None,
                     choices=["mp4", "png", None])
@@ -76,6 +78,10 @@ def parse_arguments():
     v.add_argument("--vae_decode_tile_overlap", type=int, default=128)
     v.add_argument("--tile_debug", type=str, default="false",
                    choices=["false", "encode", "decode"])
+    v.add_argument("--tile_mode", type=str, default="uniform",
+                   choices=["uniform", "ref"],
+                   help="uniform = even same-shape tile grid (fastest); "
+                        "ref = the reference's stride-sweep layout")
 
     perf = p.add_argument_group("Performance")
     perf.add_argument("--attention_mode", type=str, default="flash",
@@ -86,23 +92,44 @@ def parse_arguments():
                       help="shard batches over all local TPU chips (replaces "
                            "the reference's --cuda_device fan-out)")
     perf.add_argument("--quant", type=str, default="none",
-                      choices=["none", "q8", "w8a8"],
+                      choices=["none", "q8", "q4k", "w8a8"],
                       help="DiT serving quantization: q8 = int8 weights + "
                            "fused dequant matmul (GGUF checkpoints keep "
-                           "their Q8_0 blocks); w8a8 = int8 weights AND "
-                           "per-token int8 activations on the int8 MXU")
+                           "their Q8_0 blocks); q4k = GGUF K-quants serve "
+                           "in their native affine layout (no requant "
+                           "error); w8a8 = int8 weights AND per-token int8 "
+                           "activations on the int8 MXU")
     perf.add_argument("--compile_dit", action="store_true",
                       help="no-op (always jit-compiled)")
     perf.add_argument("--compile_vae", action="store_true",
                       help="no-op (always jit-compiled)")
 
-    bs = p.add_argument_group("Memory (accepted for API compat)")
-    bs.add_argument("--blocks_to_swap", type=int, default=0)
-    bs.add_argument("--swap_io_components", action="store_true")
+    bs = p.add_argument_group("Memory")
+    bs.add_argument("--blocks_to_swap", type=int, default=0,
+                    help="stream the last N transformer blocks from host "
+                         "RAM (auto-engages for larger-than-HBM models)")
+    bs.add_argument("--swap_io_components", action="store_true",
+                    help="accepted for API compat (IO params always stay "
+                         "in HBM; they are <1%% of the model)")
 
     c = p.add_argument_group("Caching")
     c.add_argument("--cache_dit", action="store_true")
     c.add_argument("--cache_vae", action="store_true")
+
+    pr = p.add_argument_group("Parity (BASELINE config #1 harness)")
+    pr.add_argument("--parity_check", action="store_true",
+                    help="after upscaling, score the output against a "
+                         "reference capture (--parity_ref) and print a "
+                         "one-line JSON PSNR report")
+    pr.add_argument("--parity_ref", type=str, default=None,
+                    help="reference output capture (.npy [T,H,W,C] in "
+                         "[0,1], or an image file)")
+    pr.add_argument("--parity_min_psnr", type=float, default=None,
+                    help="exit non-zero if PSNR falls below this dB value")
+    pr.add_argument("--convert_embeddings", nargs=2, default=None,
+                    metavar=("SRC_DIR", "DST_DIR"),
+                    help="convert pos_emb.pt/neg_emb.pt from SRC_DIR into "
+                         "torch-free .npy files in DST_DIR, then exit")
 
     d = p.add_argument_group("Debug")
     d.add_argument("--debug", action="store_true")
@@ -160,6 +187,7 @@ def _configure(args, debug):
         decode_tile_overlap=(args.vae_decode_tile_overlap,) * 2,
         attention_mode=args.attention_mode,
         quant=args.quant,
+        tile_mode=args.tile_mode,
     )
 
 
@@ -174,6 +202,7 @@ def process_frames(runner, frames: np.ndarray, args, debug,
                                             tile_debug=args.tile_debug)
     ctx["text_embeds"] = load_text_embeddings(
         [args.model_dir, os.path.dirname(os.path.abspath(__file__))], debug)
+    debug.checkpoint("pre_phase1")
     with debug.profile("phase1_encode"):
         ctx = pipeline.encode_all_batches(
             runner, ctx, frames, debug=debug, batch_size=args.batch_size,
@@ -182,18 +211,24 @@ def process_frames(runner, frames: np.ndarray, args, debug,
             resolution=args.resolution, max_resolution=args.max_resolution,
             input_noise_scale=args.input_noise_scale,
             color_correction=args.color_correction)
+    debug.checkpoint("post_phase1")
     with debug.profile("phase2_upscale"):
         ctx = pipeline.upscale_all_batches(
             runner, ctx, debug=debug, seed=args.seed,
             latent_noise_scale=args.latent_noise_scale)
+    debug.checkpoint("post_phase2")
     with debug.profile("phase3_decode"):
         ctx = pipeline.decode_all_batches(runner, ctx, debug=debug)
+    debug.checkpoint("post_phase3")
     with debug.profile("phase4_postprocess"):
         ctx = pipeline.postprocess_all_batches(
             ctx, debug=debug, color_correction=args.color_correction,
             prepend_frames=prepend_frames,
             temporal_overlap=args.temporal_overlap,
             batch_size=args.batch_size)
+    debug.checkpoint("post_phase4")
+    debug.summary(runner.streamed_dit.stats.summary()
+                  if runner.streamed_dit is not None else None)
     return ctx["final_video"]
 
 
@@ -269,6 +304,23 @@ def process_video(args, debug):
     return out_path
 
 
+def _parity_report(args, result):
+    """--parity_check: score against the reference capture (BASELINE #1)."""
+    if not args.parity_check:
+        return
+    from seedvr2_tpu.utils import parity
+
+    if not args.parity_ref:
+        parity.print_report({"parity": "no_capture",
+                             "hint": "pass --parity_ref <capture.npy>"})
+        return
+    report = parity.compare_to_capture(result, args.parity_ref,
+                                       args.parity_min_psnr)
+    parity.print_report(report)
+    if report.get("passed") is False:
+        sys.exit(1)
+
+
 def process_image(args, debug):
     frames = video_io.read_image(args.input)
     out_format = args.output_format or "png"
@@ -277,6 +329,7 @@ def process_image(args, debug):
     result = process_frames(runner, frames, args, debug)
     video_io.write_image(out_path, result[0])
     debug.log(f"Wrote {out_path}", category="generation", force=True)
+    _parity_report(args, result)
     return out_path
 
 
@@ -297,6 +350,7 @@ def process_directory(args, debug):
         for i, frame in enumerate(result):
             video_io.write_image(f"{base}_{i:05d}.png", frame)
     debug.log(f"Wrote {out_path}", category="generation", force=True)
+    _parity_report(args, result)
     return out_path
 
 
@@ -306,6 +360,19 @@ def main():
 
     enable_persistent_cache()
     debug = Debug(enabled=args.debug, profile_dir=args.profile_dir)
+    debug.log_environment()
+    if args.convert_embeddings is not None:
+        from seedvr2_tpu.utils import parity
+
+        src, dst = args.convert_embeddings
+        shapes = parity.convert_embeddings(src, dst)
+        parity.print_report({"converted": {k: list(v)
+                                           for k, v in shapes.items()},
+                             "dst": dst})
+        return
+    if args.input is None:
+        print("error: input is required", file=sys.stderr)
+        sys.exit(2)
     try:
         kind = video_io.detect_input_type(args.input)
     except ValueError as e:

@@ -44,6 +44,70 @@ def test_streamed_nadit_matches_regular():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_runner_streamed_blockswap_matches_regular():
+    """A runner built with streamed_dit (the product BlockSwap path wired by
+    configure_runner when blocks_to_swap > 0 or weights exceed HBM) must
+    reproduce the regular runner's denoise output and record swap stalls."""
+    from seedvr2_tpu.core.configs import RunnerConfig, VAEConfig
+    from seedvr2_tpu.core.runner import VideoDiffusionRunner
+    from seedvr2_tpu.ops.offload import StreamedNaDiT
+
+    cfg = _tiny_cfg()
+    params = init_dit_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    rcfg = RunnerConfig(dit=cfg, vae=VAEConfig())
+    regular = VideoDiffusionRunner(params, cfg, None, rcfg,
+                                   compute_dtype=jnp.float32)
+    streamed = VideoDiffusionRunner(
+        None, cfg, None, rcfg, compute_dtype=jnp.float32,
+        streamed_dit=StreamedNaDiT(params, cfg, keep_blocks=1))
+
+    rng = np.random.default_rng(5)
+    noises = [jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)]
+    conds = [regular.get_condition(n, n) for n in noises]
+    txt = [np.asarray(rng.standard_normal((5, 16)), np.float32)]
+
+    ref = regular.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+    out = streamed.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    stats = streamed.streamed_dit.stats.summary()
+    assert stats["block_swaps"] == 1  # 2 layers, 1 resident
+    assert stats["block_bytes"] > 0
+
+
+def test_runner_phase_offload_roundtrip():
+    """Per-phase DiT offload (set_phase_offload/release_dit): inference
+    auto-restores the weights from the retained host tree and reproduces
+    the always-resident result."""
+    from seedvr2_tpu.core.configs import RunnerConfig, VAEConfig
+    from seedvr2_tpu.core.runner import VideoDiffusionRunner
+
+    cfg = _tiny_cfg()
+    params = init_dit_params(jax.random.PRNGKey(6), cfg, dtype=jnp.float32)
+    rcfg = RunnerConfig(dit=cfg, vae=VAEConfig())
+    regular = VideoDiffusionRunner(params, cfg, None, rcfg,
+                                   compute_dtype=jnp.float32)
+    offl = VideoDiffusionRunner(None, cfg, None, rcfg,
+                                compute_dtype=jnp.float32)
+    offl.set_phase_offload(jax.tree.map(np.asarray, params))
+
+    rng = np.random.default_rng(6)
+    noises = [jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)]
+    conds = [regular.get_condition(n, n) for n in noises]
+    txt = [np.asarray(rng.standard_normal((5, 16)), np.float32)]
+
+    ref = regular.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+    out = offl.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-6, atol=1e-6)
+    assert offl.dit_params is not None
+    offl.release_dit()
+    assert offl.dit_params is None
+    out2 = offl.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(ref[0]),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_nadit_upscaler_variant():
     """NaDiTUpscaler: emb += emb_scale(downscale). The reference class is
     not directly runnable as an oracle (dit_7b/nadit.py:290 references an

@@ -70,8 +70,7 @@ def test_optimal_batch_params():
     assert p["best_batch"] == 21  # largest 4n+1 <= 23
 
 
-@pytest.fixture(scope="module")
-def tiny_runner():
+def _make_tiny_runner():
     import jax
 
     from seedvr2_tpu.core.runner import VideoDiffusionRunner
@@ -94,6 +93,11 @@ def tiny_runner():
         dit_params, dit_cfg, vae,
         RunnerConfig(dit=dit_cfg, vae=vae_cfg),
         compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_runner():
+    return _make_tiny_runner()
 
 
 def test_pipeline_end_to_end(tiny_runner):
@@ -164,6 +168,83 @@ def test_resize_matches_torch_antialiased_bicubic():
         mine = np.asarray(transforms.resize_video(
             jnp.asarray(img[None]), nh, nw))[0]
         np.testing.assert_allclose(mine, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_phase2_mesh_dp_stacks_batches(tiny_runner):
+    """Phase 2 over an 8-device CPU mesh must (a) stack same-shape temporal
+    batches into per-call batch > 1 sharded over 'dp' and (b) produce the
+    same latents as the sequential single-device path (VERDICT r1 item 5;
+    replaces the reference's frame-parallel fan-out,
+    inference_cli.py:1048-1214)."""
+    import jax
+
+    from seedvr2_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    # 13 frames / batch 5 -> batches of 5,5,3: two same-shape + one tail
+    images = rng.uniform(0, 1, (13, 24, 20, 3)).astype(np.float32)
+    embeds = {
+        "pos": rng.standard_normal((7, 16)).astype(np.float32),
+        "neg": rng.standard_normal((9, 16)).astype(np.float32),
+    }
+
+    def run(runner):
+        ctx = pipeline.setup_generation_context()
+        ctx = pipeline.encode_all_batches(
+            runner, ctx, images, batch_size=5, resolution=32,
+            color_correction="none", seed=3)
+        ctx["text_embeds"] = dict(embeds)
+        runner.last_batch_sizes = []
+        ctx = pipeline.upscale_all_batches(runner, ctx, seed=3)
+        return ctx["all_upscaled_latents"], list(runner.last_batch_sizes)
+
+    seq_lat, seq_batches = run(tiny_runner)
+    assert all(b == 1 for b in seq_batches)
+
+    mesh_runner = _make_tiny_runner()
+    mesh_runner.attach_mesh(
+        make_mesh(len(jax.devices()), axis_names=("dp",)))
+    dp_lat, dp_batches = run(mesh_runner)
+
+    assert len(dp_lat) == len(seq_lat) == 3
+    assert max(dp_batches) > 1  # stacked, not one-at-a-time
+    assert all(b % 8 == 0 for b in dp_batches)  # dp-divisible (padded tail)
+    for a, b in zip(seq_lat, dp_lat):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=2e-5)
+
+
+def test_full_pipeline_mesh_matches_sequential(tiny_runner):
+    """All 4 phases over an 8-device dp mesh (phase-1/3 temporal VAE waves +
+    phase-2 DiT stacking) must reproduce the sequential output."""
+    import jax
+
+    from seedvr2_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(8)
+    images = rng.uniform(0, 1, (13, 24, 20, 3)).astype(np.float32)
+    embeds = {
+        "pos": rng.standard_normal((7, 16)).astype(np.float32),
+        "neg": rng.standard_normal((9, 16)).astype(np.float32),
+    }
+
+    def run(runner):
+        ctx = pipeline.setup_generation_context()
+        ctx = pipeline.encode_all_batches(
+            runner, ctx, images, batch_size=5, temporal_overlap=2,
+            resolution=32, color_correction="none", seed=8)
+        ctx["text_embeds"] = dict(embeds)
+        ctx = pipeline.upscale_all_batches(runner, ctx, seed=8)
+        ctx = pipeline.decode_all_batches(runner, ctx)
+        ctx = pipeline.postprocess_all_batches(ctx, color_correction="none")
+        return ctx["final_video"]
+
+    seq = run(tiny_runner)
+    mesh_runner = _make_tiny_runner()
+    mesh_runner.attach_mesh(make_mesh(len(jax.devices()),
+                                      axis_names=("dp",)))
+    par = run(mesh_runner)
+    assert par.shape == seq.shape
+    np.testing.assert_allclose(par, seq, rtol=1e-5, atol=3e-5)
 
 
 def test_pipeline_determinism(tiny_runner):
