@@ -46,6 +46,78 @@ def _fade_weights(length: int, overlap: int, at_start: bool, at_end: bool) -> np
     return wgt
 
 
+def _even_starts(total: int, tile: int, n: int):
+    if n == 1:
+        return [0]
+    return [round(i * (total - tile) / (n - 1)) for i in range(n)]
+
+
+def _min_overlap(starts, tile):
+    if len(starts) < 2:
+        return 0
+    return min(starts[i] + tile - starts[i + 1]
+               for i in range(len(starts) - 1))
+
+
+def _plan_grid(h: int, w: int, cap_area: int, ov_h: int, ov_w: int):
+    """Uniform tile-grid planning: evenly-spaced SAME-SHAPE (th x tw) tiles
+    covering h x w with th*tw <= cap_area and overlaps >= the requested
+    minimums, minimizing total tile area (= redundant compute).
+
+    Unlike the reference's fixed square stride sweep (attn_video_vae.py:
+    1294+), this (a) produces ONE tile shape (one XLA compilation, full mesh
+    waves), (b) never computes past the edge, and (c) exploits that the
+    memory constraint is the tile AREA, not its side: e.g. a 270x480 latent
+    under a 136^2 cap plans 3x3 tiles of 101x171 (1.20x compute) instead of
+    the sweep's 12 mixed-shape tiles (1.71x).
+
+    Returns (ys, th, xs, tw)."""
+    best = None
+    for nr in range(1, min(h, 64) + 1):
+        th = min(h, math.ceil((h + (nr - 1) * ov_h) / nr))
+        if nr > 1 and th <= ov_h:
+            break
+        # smallest nc whose tile width fits the area cap (larger nc only
+        # increases total area for this nr)
+        nc_found = None
+        for nc in range(1, min(w, 64) + 1):
+            tw = min(w, math.ceil((w + (nc - 1) * ov_w) / nc))
+            if nc > 1 and tw <= ov_w:
+                break
+            if th * tw <= cap_area:
+                nc_found = (nc, tw)
+                break
+        if nc_found is None:
+            continue
+        nc, tw = nc_found
+        cost = nr * nc * th * tw
+        if best is None or cost < best[0]:
+            best = (cost, nr, nc, th, tw)
+    if best is None:  # cap smaller than any coverable tile: degenerate 1x1
+        return [0], h, [0], w
+    _, nr, nc, th, tw = best
+    return _even_starts(h, th, nr), th, _even_starts(w, tw, nc), tw
+
+
+def _decode_slices(params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """Temporally-sliced decode as a pure traceable function (the logic of
+    VideoVAE._sliced_decode without the per-call jit wrappers, so it can be
+    embedded inside larger jitted programs such as the tiled-decode scan)."""
+    Tl = z.shape[1]
+    split = cfg.slicing_latent_min_size
+    if (Tl - 1) <= split:
+        return decoder_core(params, cfg, z, None)[0]
+    outs = []
+    out, state = decoder_core(params, cfg, z[:, : split + 1], None)
+    outs.append(out)
+    pos = split + 1
+    while pos < Tl:
+        out, state = decoder_core(params, cfg, z[:, pos: pos + split], state)
+        outs.append(out)
+        pos += split
+    return jnp.concatenate(outs, axis=1)
+
+
 class VideoVAE:
     """Stateless-parameter VAE with reference-equivalent encode/decode."""
 
@@ -85,6 +157,7 @@ class VideoVAE:
 
         self._enc_first, self._enc_rest = enc_first, enc_rest
         self._dec_first, self._dec_rest = dec_first, dec_rest
+        self._tiled_scan_cache = {}
 
     # -------------------------------------------------- temporal slicing --
 
@@ -161,9 +234,15 @@ class VideoVAE:
 
     def encode(self, x: jnp.ndarray, tiled: bool = False,
                tile_size: Tuple[int, int] = (512, 512),
-               tile_overlap: Tuple[int, int] = (64, 64)) -> jnp.ndarray:
+               tile_overlap: Tuple[int, int] = (64, 64),
+               tile_mode: str = "ref") -> jnp.ndarray:
         """x: (B, T, H, W, 3) in [-1, 1], T % 4 == 1 -> latent mode
-        (B, (T-1)/4+1, H/8, W/8, latent_channels)."""
+        (B, (T-1)/4+1, H/8, W/8, latent_channels).
+
+        tile_mode: "ref" reproduces the reference's stride-sweep tile layout
+        (attn_video_vae.py:1294+, incl. sliver edge tiles); "uniform" uses
+        the even same-shape grid (_plan_axis) — one compile shape, no
+        overflow compute, full mesh waves."""
         x = x.astype(self.dtype)
         B, T, H, W, _ = x.shape
         lat = self.cfg.latent_channels
@@ -175,8 +254,6 @@ class VideoVAE:
         lt_w = max(1, tile_size[1] // sf)
         lo_h = max(0, min(tile_overlap[0] // sf, lt_h - 1))
         lo_w = max(0, min(tile_overlap[1] // sf, lt_w - 1))
-        stride_h = max(1, lt_h - lo_h)
-        stride_w = max(1, lt_w - lo_w)
         H_lat = (H + sf - 1) // sf
         W_lat = (W + sf - 1) // sf
         Tl = (T - 1) // self.cfg.temporal_downsample_factor + 1
@@ -186,17 +263,27 @@ class VideoVAE:
         self.last_encode_tiles = []
 
         rects = []
-        for y in range(0, H_lat, stride_h):
-            y_end = min(y + lt_h, H_lat)
-            if y > 0 and (y_end - y) <= lo_h:
-                continue
-            for xx in range(0, W_lat, stride_w):
-                x_end = min(xx + lt_w, W_lat)
-                if xx > 0 and (x_end - xx) <= lo_w:
+        fade_h, fade_w = lo_h, lo_w
+        if tile_mode == "uniform":
+            ys, th, xs, tw = _plan_grid(H_lat, W_lat, lt_h * lt_w, lo_h, lo_w)
+            fade_h = min(lo_h, _min_overlap(ys, th)) or lo_h
+            fade_w = min(lo_w, _min_overlap(xs, tw)) or lo_w
+            rects = [(y, y + th, xx, xx + tw) for y in ys for xx in xs]
+        else:
+            stride_h = max(1, lt_h - lo_h)
+            stride_w = max(1, lt_w - lo_w)
+            for y in range(0, H_lat, stride_h):
+                y_end = min(y + lt_h, H_lat)
+                if y > 0 and (y_end - y) <= lo_h:
                     continue
-                rects.append((y, y_end, xx, x_end))
-                self.last_encode_tiles.append(
-                    (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf))
+                for xx in range(0, W_lat, stride_w):
+                    x_end = min(xx + lt_w, W_lat)
+                    if xx > 0 and (x_end - xx) <= lo_w:
+                        continue
+                    rects.append((y, y_end, xx, x_end))
+        self.last_encode_tiles = [
+            (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf)
+            for (y, y_end, xx, x_end) in rects]
 
         crops = [x[:, :, y * sf: min(y_end * sf, H),
                    xx * sf: min(x_end * sf, W)]
@@ -208,18 +295,77 @@ class VideoVAE:
             eh = min(y_end - y, tile.shape[2], H_lat - y)
             ew = min(x_end - xx, tile.shape[3], W_lat - xx)
             tile = tile[:, :Tl, :eh, :ew]
-            wh = _fade_weights(eh, lo_h, y > 0, y_end < H_lat)
-            ww = _fade_weights(ew, lo_w, xx > 0, x_end < W_lat)
+            wh = _fade_weights(eh, fade_h, y > 0, y_end < H_lat)
+            ww = _fade_weights(ew, fade_w, xx > 0, x_end < W_lat)
             mask = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
             result = result.at[:, :, y: y + eh, xx: xx + ew].add(tile * mask)
             count = count.at[:, :, y: y + eh, xx: xx + ew].add(mask)
         result = result / jnp.clip(count, 1e-6)
         return result.astype(self.dtype)
 
+    def _decode_tiled_scan(self, z, rects, th, tw, fade_h, fade_w):
+        """Single-jit tiled decode for the uniform grid: lax.scan over the
+        same-shape tiles keeps peak HBM = one tile's workspace + the output
+        accumulator, with no eager per-tile dispatch (which strands dead
+        buffers on backends with deferred reclamation) and one compiled
+        program for the whole 4K decode."""
+        B, Tl, h, w, _ = z.shape
+        sf = self.cfg.spatial_downsample_factor
+        T = (Tl - 1) * self.cfg.temporal_downsample_factor + 1
+        H, W = h * sf, w * sf
+        n = len(rects)
+        masks = np.empty((n, th * sf, tw * sf), np.float32)
+        count = np.zeros((H, W), np.float32)
+        pos = np.empty((n, 2), np.int32)
+        for t_i, (y, y_end, xx, x_end) in enumerate(rects):
+            wh = _fade_weights((y_end - y) * sf, fade_h, y > 0, y_end < h)
+            ww = _fade_weights((x_end - xx) * sf, fade_w, xx > 0, x_end < w)
+            m = np.outer(wh, ww).astype(np.float32)
+            masks[t_i] = m
+            count[y * sf: y_end * sf, xx * sf: x_end * sf] += m
+            pos[t_i] = (y * sf, xx * sf)
+        inv_count = (1.0 / np.clip(count, 1e-6, None))[None, None, :, :, None]
+
+        key = (z.shape, tuple(rects), fade_h, fade_w)
+        if key not in self._tiled_scan_cache:
+            cfg = self.cfg
+            rects_c = tuple(rects)
+            masks_c = jnp.asarray(masks)
+            pos_c = jnp.asarray(pos)
+            inv_c = jnp.asarray(inv_count)
+            out_tile = (B, T, th * sf, tw * sf, 3)
+
+            @jax.jit
+            def run(params, z):
+                crops = jnp.stack([z[:, :, y:y_end, xx:x_end]
+                                   for (y, y_end, xx, x_end) in rects_c])
+
+                def body(result, inp):
+                    crop, mask, p = inp
+                    tile = _decode_slices(params, cfg, crop).astype(
+                        jnp.float32)
+                    tile = tile * mask[None, None, :, :, None]
+                    start = (0, 0, p[0], p[1], 0)
+                    cur = jax.lax.dynamic_slice(result, start, out_tile)
+                    return jax.lax.dynamic_update_slice(
+                        result, cur + tile, start), None
+
+                init = jnp.zeros((B, T, H, W, 3), jnp.float32)
+                result, _ = jax.lax.scan(body, init,
+                                         (crops, masks_c, pos_c))
+                return (result * inv_c).astype(z.dtype)
+
+            self._tiled_scan_cache[key] = run
+        return self._tiled_scan_cache[key](self.params, z)
+
     def decode(self, z: jnp.ndarray, tiled: bool = False,
                tile_size: Tuple[int, int] = (512, 512),
-               tile_overlap: Tuple[int, int] = (64, 64)) -> jnp.ndarray:
-        """z: (B, Tl, h, w, latent) -> (B, (Tl-1)*4+1, 8h, 8w, 3)."""
+               tile_overlap: Tuple[int, int] = (64, 64),
+               tile_mode: str = "ref") -> jnp.ndarray:
+        """z: (B, Tl, h, w, latent) -> (B, (Tl-1)*4+1, 8h, 8w, 3).
+
+        tile_mode as in encode(): "ref" = reference stride-sweep layout,
+        "uniform" = even same-shape grid."""
         z = z.astype(self.dtype)
         B, Tl, h, w, _ = z.shape
         sf = self.cfg.spatial_downsample_factor
@@ -230,27 +376,42 @@ class VideoVAE:
 
         lo_h = max(0, min(tile_overlap[0] // sf, lt_h - 1))
         lo_w = max(0, min(tile_overlap[1] // sf, lt_w - 1))
-        stride_h = max(1, lt_h - lo_h)
-        stride_w = max(1, lt_w - lo_w)
         T = (Tl - 1) * self.cfg.temporal_downsample_factor + 1
         H, W = h * sf, w * sf
 
         result = jnp.zeros((B, T, H, W, 3), dtype=jnp.float32)
         count = jnp.zeros((1, 1, H, W, 1), dtype=jnp.float32)
-        self.last_decode_tiles = []
 
         rects = []
-        for y in range(0, h, stride_h):
-            y_end = min(y + lt_h, h)
-            if y > 0 and (y_end - y) <= lo_h:
-                continue
-            for xx in range(0, w, stride_w):
-                x_end = min(xx + lt_w, w)
-                if xx > 0 and (x_end - xx) <= lo_w:
+        fade_h, fade_w = tile_overlap[0], tile_overlap[1]
+        if tile_mode == "uniform":
+            ys, th, xs, tw = _plan_grid(h, w, lt_h * lt_w, lo_h, lo_w)
+            fade_h = min(tile_overlap[0], _min_overlap(ys, th) * sf) \
+                or tile_overlap[0]
+            fade_w = min(tile_overlap[1], _min_overlap(xs, tw) * sf) \
+                or tile_overlap[1]
+            rects = [(y, y + th, xx, xx + tw) for y in ys for xx in xs]
+            self.last_decode_tiles = [
+                (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf)
+                for (y, y_end, xx, x_end) in rects]
+            if self.mesh is None:
+                return self._decode_tiled_scan(z, rects, th, tw,
+                                               fade_h, fade_w)
+        else:
+            stride_h = max(1, lt_h - lo_h)
+            stride_w = max(1, lt_w - lo_w)
+            for y in range(0, h, stride_h):
+                y_end = min(y + lt_h, h)
+                if y > 0 and (y_end - y) <= lo_h:
                     continue
-                rects.append((y, y_end, xx, x_end))
-                self.last_decode_tiles.append(
-                    (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf))
+                for xx in range(0, w, stride_w):
+                    x_end = min(xx + lt_w, w)
+                    if xx > 0 and (x_end - xx) <= lo_w:
+                        continue
+                    rects.append((y, y_end, xx, x_end))
+        self.last_decode_tiles = [
+            (y * sf, xx * sf, (y_end - y) * sf, (x_end - xx) * sf)
+            for (y, y_end, xx, x_end) in rects]
 
         crops = [z[:, :, y:y_end, xx:x_end] for (y, y_end, xx, x_end) in rects]
         tiles = self._tile_map(self._sliced_decode, crops)
@@ -260,8 +421,8 @@ class VideoVAE:
             xo, xo_end = xx * sf, x_end * sf
             # decode fades are computed in output space with the *pixel*
             # overlap (attn_video_vae.py:1508-1515)
-            wh = _fade_weights(yo_end - yo, tile_overlap[0], y > 0, y_end < h)
-            ww = _fade_weights(xo_end - xo, tile_overlap[1], xx > 0, x_end < w)
+            wh = _fade_weights(yo_end - yo, fade_h, y > 0, y_end < h)
+            ww = _fade_weights(xo_end - xo, fade_w, xx > 0, x_end < w)
             mask = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
             result = result.at[:, :tile.shape[1], yo:yo_end, xo:xo_end].add(
                 tile * mask)

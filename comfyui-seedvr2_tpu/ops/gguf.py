@@ -295,7 +295,7 @@ def _read_value(f, vtype: int):
     raise ValueError(f"unknown gguf kv type {vtype}")
 
 
-def read_gguf(path: str, keep_q8: bool = False
+def read_gguf(path: str, keep_q8: bool = False, native_kquants: bool = False
               ) -> Tuple[Dict[str, np.ndarray], Dict[str, int], dict]:
     """Parse a GGUF file.
 
@@ -304,7 +304,13 @@ def read_gguf(path: str, keep_q8: bool = False
 
     With keep_q8=True, 2D Q8_0 tensors are returned quantized as
     {"q8": int8 (out, in), "scales": float32 (out, in/32)} for the fused
-    dequant-matmul serving path (ops/quant_matmul.py)."""
+    dequant-matmul serving path (ops/quant_matmul.py); other quant formats
+    are requantized to that layout.
+
+    With native_kquants=True additionally, large 2D Q4_K/Q5_K tensors keep
+    their native affine reconstruction {"qa": raw quants int8, "s", "m":
+    per-32-group scale/min} — zero requantization error on top of the
+    k-quant grid (served by quant_matmul_affine)."""
     tensors: Dict[str, np.ndarray] = {}
     qtypes: Dict[str, int] = {}
     with open(path, "rb") as f:
@@ -352,6 +358,38 @@ def read_gguf(path: str, keep_q8: bool = False
                 tensors[name] = {"q8": np.ascontiguousarray(q.T),
                                  "scales": np.ascontiguousarray(scales.T)}
                 continue
+            if native_kquants and ttype in (Q4_K, Q5_K) and len(dims) == 2 \
+                    and dims[0] % QK_K == 0 and min(torch_shape) >= 1024:
+                # native affine serving: w = s*q - m per 32-group (exactly
+                # the reference reconstruction, no further requantization)
+                blocks = raw.reshape(-1, BLOCK_SIZES[ttype][0])
+                nb = blocks.shape[0]
+                d = _f16(blocks[:, :2].copy())
+                dmin = _f16(blocks[:, 2:4].copy())
+                sc, mn = _unpack_k_scales(blocks[:, 4:16])
+                if ttype == Q4_K:
+                    qs = blocks[:, 16:].reshape(nb, 4, 32)
+                    vals = np.empty((nb, 8, 32), np.int8)
+                    vals[:, 0::2] = (qs & 0x0F).astype(np.int8)
+                    vals[:, 1::2] = (qs >> 4).astype(np.int8)
+                else:  # Q5_K: 4-bit low + 1 high bit per group
+                    qh = blocks[:, 16:48]
+                    qs = blocks[:, 48:176].reshape(nb, 4, 32)
+                    vals16 = np.empty((nb, 8, 32), np.int16)
+                    vals16[:, 0::2] = (qs & 0x0F).astype(np.int16)
+                    vals16[:, 1::2] = (qs >> 4).astype(np.int16)
+                    bits = np.stack([(qh >> j) & 1 for j in range(8)],
+                                    axis=1).astype(np.int16)
+                    vals = (vals16 + bits * 16).astype(np.int8)
+                scale = (d * sc).astype(np.float32)   # (nb, 8)
+                minv = (dmin * mn).astype(np.float32)
+                N, K = torch_shape
+                tensors[name] = {
+                    "qa": np.ascontiguousarray(vals.reshape(N, K).T),
+                    "s": np.ascontiguousarray(scale.reshape(N, K // 32).T),
+                    "m": np.ascontiguousarray(minv.reshape(N, K // 32).T),
+                }
+                continue
             flat = dequantize(raw, ttype, n_elem)
             # gguf dims are innermost-first; torch layout is the reverse
             w = flat.reshape(torch_shape)
@@ -365,7 +403,8 @@ def read_gguf(path: str, keep_q8: bool = False
                 k, n = torch_shape[1], torch_shape[0]
                 g = w.reshape(n, k // QK, QK).astype(np.float32)
                 scales = np.abs(g).max(axis=2) / 127.0
-                inv = np.where(scales > 0, 1.0 / scales, 0.0)
+                inv = np.zeros_like(scales)
+                np.divide(1.0, scales, out=inv, where=scales > 0)
                 q = np.clip(np.round(g * inv[:, :, None]), -127,
                             127).astype(np.int8).reshape(n, k)
                 tensors[name] = {"q8": np.ascontiguousarray(q.T),
@@ -375,7 +414,9 @@ def read_gguf(path: str, keep_q8: bool = False
     return tensors, qtypes, meta
 
 
-def load_gguf_state_dict(path: str, keep_q8: bool = False
+def load_gguf_state_dict(path: str, keep_q8: bool = False,
+                         native_kquants: bool = False
                          ) -> Dict[str, np.ndarray]:
-    tensors, _, _ = read_gguf(path, keep_q8=keep_q8)
+    tensors, _, _ = read_gguf(path, keep_q8=keep_q8,
+                              native_kquants=native_kquants)
     return tensors

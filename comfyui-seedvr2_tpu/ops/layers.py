@@ -77,6 +77,10 @@ def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
         from .quant_matmul import quant_linear
 
         return quant_linear(x, p)
+    if "qa" in p:  # native K-quant (Q4_K/Q5_K) affine serving layout
+        from .quant_matmul import affine_quant_linear
+
+        return affine_quant_linear(x, p)
     out = jnp.dot(x, p["w"].astype(x.dtype),
                   preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p and p["b"] is not None:

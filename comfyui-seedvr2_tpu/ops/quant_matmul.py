@@ -56,6 +56,10 @@ def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
     m, k = x.shape
     n = q.shape[1]
     assert q.shape[0] == k and scales.shape == (k // GROUP, n)
+    if not interpret and jax.default_backend() != "tpu":
+        # dense emulation for CPU correctness runs / virtual-device meshes
+        return jnp.dot(x.astype(jnp.float32), dequantize_q8(q, scales),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
 
     block_m = min(block_m, _round_up(m, 8))
     m_pad = _round_up(m, block_m)
@@ -100,6 +104,105 @@ def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
         interpret=interpret,
     )(x, q, scales)
     return out[:m, :n]
+
+
+def _aqmm_kernel(x_ref, q_ref, s_ref, m_ref, o_ref, acc, *, n_k: int):
+    """Affine-grouped fused dequant-matmul: w = s*q - m per 32-group along K
+    (the native Q4_K/Q5_K reconstruction, gguf_dequant.py:171-330 —
+    reference dequantizes to fp16 first; here the affine form stays packed
+    and the min term folds into a tiny (M, K/32) @ (K/32, N) side-dot:
+    x @ (s*q - m) = x @ (s*q) - group_sums(x) @ m."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:].astype(jnp.float32)          # (bm, bk)
+    q = q_ref[:].astype(jnp.float32)          # (bk, bn) raw quants (>= 0)
+    s = s_ref[:].astype(jnp.float32)          # (bk // GROUP, bn)
+    m = m_ref[:].astype(jnp.float32)          # (bk // GROUP, bn)
+    bk, bn = q.shape
+    w = (q.reshape(bk // GROUP, GROUP, bn) * s[:, None, :]).reshape(bk, bn)
+    acc[:] += jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bm = x.shape[0]
+    xg = x.reshape(bm, bk // GROUP, GROUP).sum(axis=2)
+    acc[:] -= jax.lax.dot_general(
+        xg, m, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret"))
+def quant_matmul_affine(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
+                        m: jnp.ndarray, block_m: int = 256,
+                        block_n: int = 512, block_k: int = 512,
+                        interpret: bool = False):
+    """x: (M, K); q: (K, N) int8 raw quants; s, m: (K//32, N) f32 affine
+    per-group scale/min -> (M, N) x.dtype. Serves GGUF K-quants natively
+    (no requantization error on top of the q4 grid)."""
+    mm, k = x.shape
+    n = q.shape[1]
+    assert q.shape[0] == k and s.shape == (k // GROUP, n) and m.shape == s.shape
+    if not interpret and jax.default_backend() != "tpu":
+        w = (q.astype(jnp.float32).reshape(k // GROUP, GROUP, n)
+             * s[:, None, :] - m[:, None, :]).reshape(k, n)
+        return jnp.dot(x.astype(jnp.float32), w,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+
+    block_m = min(block_m, _round_up(mm, 8))
+    m_pad = _round_up(mm, block_m)
+    if m_pad != mm:
+        x = jnp.pad(x, ((0, m_pad - mm), (0, 0)))
+    n_pad = _round_up(n, block_n)
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
+        s = jnp.pad(s, ((0, 0), (0, n_pad - n)))
+        m = jnp.pad(m, ((0, 0), (0, n_pad - n)))
+    k_pad = _round_up(k, block_k)
+    if k_pad != k:
+        x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
+        q = jnp.pad(q, ((0, k_pad - k), (0, 0)))
+        s = jnp.pad(s, ((0, (k_pad - k) // GROUP), (0, 0)))
+        m = jnp.pad(m, ((0, (k_pad - k) // GROUP), (0, 0)))
+
+    n_k = k_pad // block_k
+    grid = (m_pad // block_m, n_pad // block_n, n_k)
+    out = pl.pallas_call(
+        functools.partial(_aqmm_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // GROUP, block_n),
+                         lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // GROUP, block_n),
+                         lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=(x.size * 2 + q.size + s.size * 8
+                            + m_pad * n_pad * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, q, s, m)
+    return out[:mm, :n]
 
 
 def quantize_q8(w: jnp.ndarray):
@@ -152,6 +255,18 @@ def quant_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     batch_shape = x.shape[:-1]
     k = x.shape[-1]
     out = quant_matmul_q8(x.reshape(-1, k), p["q8"], p["scales"])
+    out = out.reshape(*batch_shape, -1)
+    if "b" in p and p["b"] is not None:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
+def affine_quant_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """linear() counterpart for native K-quant params {"qa", "s", "m",
+    "b"?} (Q4_K/Q5_K served without requantization). x: (..., K)."""
+    batch_shape = x.shape[:-1]
+    k = x.shape[-1]
+    out = quant_matmul_affine(x.reshape(-1, k), p["qa"], p["s"], p["m"])
     out = out.reshape(*batch_shape, -1)
     if "b" in p and p["b"] is not None:
         out = out + p["b"].astype(out.dtype)

@@ -177,3 +177,51 @@ def test_keep_q8_requantizes_k_quant_formats(tmp_path):
     back = np.asarray(dequantize_q8(kept["q8"], kept["scales"])).T  # (N, K)
     denom = np.abs(full).mean() + 1e-9
     assert np.abs(back - full).mean() / denom < 0.02
+
+
+def _write_gguf_2d(path, name: bytes, K: int, N: int, qtype, payload: bytes):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"GGUF")
+        f.write(struct.pack("<I", 3))
+        f.write(struct.pack("<Q", 1))  # tensors
+        f.write(struct.pack("<Q", 1))  # kv
+        key = b"general.alignment"
+        f.write(struct.pack("<Q", len(key)) + key)
+        f.write(struct.pack("<I", 4))
+        f.write(struct.pack("<I", 32))
+        f.write(struct.pack("<Q", len(name)) + name)
+        f.write(struct.pack("<I", 2))
+        f.write(struct.pack("<QQ", K, N))
+        f.write(struct.pack("<I", qtype))
+        f.write(struct.pack("<Q", 0))
+        pos = f.tell()
+        f.write(b"\0" * ((32 - pos % 32) % 32))
+        f.write(payload)
+
+
+@pytest.mark.parametrize("qtype", ["Q4_K", "Q5_K"])
+def test_native_kquant_affine_layout_bit_exact(tmp_path, qtype):
+    """native_kquants=True keeps Q4_K/Q5_K as {"qa","s","m"}; the affine
+    reconstruction s*q - m must reproduce the full dequant BIT-EXACTLY
+    (zero requantization error, unlike the keep_q8 fallback)."""
+    from seedvr2_tpu.ops import gguf as g
+
+    qt = getattr(my, qtype)
+    K, N = 1024, 1280
+    blocks = _make_blocks(qt, n_blocks=K * N // 256, seed=11)
+    name = b"blocks.0.attn.w"
+    path = tmp_path / "kq.gguf"
+    _write_gguf_2d(path, name, K, N, qt, blocks.tobytes())
+
+    full = g.read_gguf(str(path))[0][name.decode()]  # (N, K) float dequant
+    kept = g.read_gguf(str(path), keep_q8=True,
+                       native_kquants=True)[0][name.decode()]
+    assert set(kept) == {"qa", "s", "m"}
+    assert kept["qa"].shape == (K, N) and kept["qa"].dtype == np.int8
+    assert kept["s"].shape == (K // 32, N) and kept["m"].shape == (K // 32, N)
+    qa = kept["qa"].T.reshape(N, K // 32, 32).astype(np.float32)
+    recon = (qa * kept["s"].T[:, :, None]
+             - kept["m"].T[:, :, None]).reshape(N, K)
+    np.testing.assert_array_equal(recon, full)

@@ -22,6 +22,33 @@ def test_quant_matmul_matches_dequant_reference():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_affine_quant_matmul_matches_dequant():
+    """quant_matmul_affine (native Q4_K serving: w = s*q - m per 32-group)
+    vs explicit dequant + matmul."""
+    from seedvr2_tpu.ops.quant_matmul import quant_matmul_affine
+
+    rng = np.random.default_rng(7)
+    m, k, n = 48, 128, 96
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    q = jnp.asarray(rng.integers(0, 16, (k, n)), jnp.int8)
+    s = jnp.asarray(rng.uniform(0.01, 0.1, (k // 32, n)), jnp.float32)
+    mn = jnp.asarray(rng.uniform(0.0, 0.5, (k // 32, n)), jnp.float32)
+
+    w = (np.asarray(q, np.float32).reshape(k // 32, 32, n)
+         * np.asarray(s)[:, None, :]
+         - np.asarray(mn)[:, None, :]).reshape(k, n)
+    ref = np.asarray(x) @ w
+    out = np.asarray(quant_matmul_affine(
+        x, q, s, mn, block_m=16, block_n=32, block_k=64, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    # layers.linear routing for the "qa" layout
+    from seedvr2_tpu.ops.layers import linear
+
+    out2 = np.asarray(linear(x, {"qa": q, "s": s, "m": mn}))
+    np.testing.assert_allclose(out2, ref, rtol=1e-4, atol=2e-4)
+
+
 def test_quantize_roundtrip_accuracy():
     rng = np.random.default_rng(1)
     w = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)

@@ -116,6 +116,80 @@ def test_decode_parity_sliced(pair):
     np.testing.assert_allclose(out_jax, out_ref, rtol=5e-3, atol=5e-3)
 
 
+def test_uniform_tile_mode_close_to_untiled(pair):
+    """tile_mode='uniform' (even same-shape grid, the product default) must
+    stay close to the untiled result on both encode and decode, and must
+    produce exactly one tile shape."""
+    import jax.numpy as jnp
+
+    _, vae = pair
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 1, 48, 56, 3)).astype(np.float32))
+    full = np.asarray(vae.encode(x))
+    uni = np.asarray(vae.encode(x, tiled=True, tile_size=(32, 32),
+                                tile_overlap=(16, 16), tile_mode="uniform"))
+    assert uni.shape == full.shape
+    # random (untrained) VAE amplifies seam noise; trained weights blend far
+    # tighter — this guards against layout bugs, not seam quality
+    assert np.abs(uni - full).mean() < 0.25
+    assert len({(h, w) for (_, _, h, w) in vae.last_encode_tiles}) == 1
+
+    z = jnp.asarray(rng.standard_normal((1, 1, 10, 14, 4)).astype(np.float32))
+    fulld = np.asarray(vae.decode(z))
+    unid = np.asarray(vae.decode(z, tiled=True, tile_size=(64, 64),
+                                 tile_overlap=(32, 32), tile_mode="uniform"))
+    assert unid.shape == fulld.shape
+    assert np.abs(unid - fulld).mean() < 0.2
+    assert len({(h, w) for (_, _, h, w) in vae.last_decode_tiles}) == 1
+
+
+def test_decode_tiled_scan_matches_eager(pair):
+    """The single-jit lax.scan tiled decode (uniform grid, no mesh) must
+    equal the eager per-tile loop (exercised via a 1-device mesh)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    _, vae = pair
+    rng = np.random.default_rng(17)
+    z = jnp.asarray(rng.standard_normal((1, 2, 10, 14, 4)).astype(np.float32))
+    scan_out = np.asarray(vae.decode(z, tiled=True, tile_size=(64, 64),
+                                     tile_overlap=(32, 32),
+                                     tile_mode="uniform"))
+    try:
+        vae.mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+        eager = np.asarray(vae.decode(z, tiled=True, tile_size=(64, 64),
+                                      tile_overlap=(32, 32),
+                                      tile_mode="uniform"))
+    finally:
+        vae.mesh = None
+    np.testing.assert_allclose(scan_out, eager, rtol=1e-5, atol=1e-5)
+
+
+def test_plan_grid_properties():
+    """_plan_grid: coverage, area cap, overlap floor, single shape; and it
+    beats the stride sweep's compute on the 4K decode grid."""
+    from seedvr2_tpu.models.vae.pipeline_vae import _min_overlap, _plan_grid
+
+    for (h, w, cap, ov) in [(270, 480, 136 * 136, 16), (48, 48, 16 * 16, 4),
+                            (17, 300, 64 * 64, 8), (5, 5, 100, 2)]:
+        ys, th, xs, tw = _plan_grid(h, w, cap, ov, ov)
+        assert th * tw <= max(cap, th * tw if len(ys) == len(xs) == 1 else 0) \
+            or th * tw <= cap
+        assert ys[0] == 0 and xs[0] == 0
+        assert ys[-1] + th == h or len(ys) == 1 and th == h
+        assert xs[-1] + tw == w or len(xs) == 1 and tw == w
+        if len(ys) > 1:
+            assert _min_overlap(ys, th) >= ov
+        if len(xs) > 1:
+            assert _min_overlap(xs, tw) >= ov
+
+    # 4K: 3x3 tiles of 101x171 = 1.20x compute vs the sweep's 1.71x
+    ys, th, xs, tw = _plan_grid(270, 480, 136 * 136, 16, 16)
+    waste = len(ys) * len(xs) * th * tw / (270 * 480)
+    assert waste < 1.25
+
+
 def test_tiled_encode_close_to_untiled(pair):
     """Tiled encode must agree with untiled away from tile seams (the
     reference accepts small seam differences; we check overall closeness)."""
