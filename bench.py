@@ -123,6 +123,15 @@ def phase_dit():
     cfg = p["dit_cfg"]
     key = jax.random.PRNGKey(0)
     params = init_dit_params(key, cfg, dtype=jnp.bfloat16)
+    quant = os.environ.get("BENCH_QUANT", "none")
+    if quant == "w8a8":
+        from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
+
+        params = quantize_dit_params_w8a8(params)
+    elif quant == "q8":
+        from seedvr2_tpu.ops.quant_matmul import quantize_dit_params
+
+        params = quantize_dit_params(params)
     runner = VideoDiffusionRunner(params, cfg, vae=None,
                                   config=RunnerConfig(dit=cfg))
     txt = jax.random.normal(jax.random.fold_in(key, 3),

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.configs import DiTConfig
-from ...ops.attention import attention
+from ...ops.attention import attention, packed_attention
 from ...ops.gather import gather_rows
 from ...ops.layers import linear, mlp_forward, rms_norm, silu, swiglu_hidden_dim
 from . import rope as rope_lib
@@ -176,11 +176,18 @@ def build_dit_plan(cfg: DiTConfig, vid_shape: Tuple[int, int, int],
             else:
                 cos = sin = None
             if cos is not None:
-                # extend to head_dim + identity rows for the appended text
-                # tokens (3B text is pre-rotated with its own 1D tables;
-                # 7B text is not rotated at all)
+                # extend to head_dim + rows for the appended text tokens.
+                # 3B text rope (1D tables) is BAKED into those rows so the
+                # packed kernel rotates video and text uniformly in one
+                # pass; 7B text rows stay identity (text is not rotated).
+                wlen = cos.shape[0]
                 cos, sin = rope_lib.extend_tables(cos, sin, cfg.head_dim,
                                                   extra_rows=txt_len)
+                if cfg.rope_type == "mmrope3d" and txt_len > 0:
+                    tc, ts = rope_lib.mmrope3d_text_table(txt_len,
+                                                          cfg.rope_dim)
+                    cos[wlen:wlen + txt_len, :tc.shape[1]] = tc
+                    sin[wlen:wlen + txt_len, :ts.shape[1]] = ts
             groups.append(RopedGroup(shape=g.shape, idx=g.idx, cos=cos, sin=sin))
         flat = np.concatenate([g.idx.reshape(-1) for g in base.groups])
         layer_plans[method] = RopedLayerPlan(
@@ -365,70 +372,95 @@ def _ada_out(x, gate_a, p_ada, layer: str):
     return x * (gate_a[:, None, :].astype(x.dtype) + gate_b)
 
 
+def _fold_norm_tables(cos_e: np.ndarray, sin_e: np.ndarray, wq_v, wq_t,
+                      wk_v, wk_t, wlen: int, skv: int):
+    """Fold the qk-norm weights into per-row rope tables (trace-time, tiny):
+    rope(q * w) == q * (cos * w) + rot_half(q) * (sin * perm(w)) where
+    perm swaps interleaved pairs. Video rows get the vid branch weight,
+    text rows the txt branch weight, pad rows don't matter (masked)."""
+    rows, d = cos_e.shape
+
+    def row_w(w_vid, w_txt):
+        w = jnp.ones((rows, d), jnp.float32)
+        w = w.at[:wlen].set(w_vid.astype(jnp.float32))
+        w = w.at[wlen:skv].set(w_txt.astype(jnp.float32))
+        return w
+
+    def perm(w):
+        return w.reshape(rows, d // 2, 2)[..., ::-1].reshape(rows, d)
+
+    c = jnp.asarray(cos_e)
+    s = jnp.asarray(sin_e)
+    wq = row_w(wq_v, wq_t)
+    wk = row_w(wk_v, wk_t)
+    return c * wq, s * perm(wq), c * wk, s * perm(wk)
+
+
 def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
                       layer_plan: RopedLayerPlan):
     """Joint windowed multi-modal attention for one block.
 
     xv: (B, L, D) video tokens in *this layer's window-major order* (each
     shape group is a contiguous slice — no gathers); xt: (B, Ltxt, D) text.
-    Per group: slice -> rope -> [vid | txt] joint flash attention; text
-    output is mean-coalesced over all windows (na.py:396-417).
-    """
+
+    The qkv projection output stays PACKED (B, L, 3*H*D): per group it is
+    sliced (free, window-major), concatenated with the packed text tokens +
+    lane-alignment pad in ONE materialization, and handed to the fused
+    kernel (ops/attention.packed_attention) which performs qk-norm + RoPE
+    (text rope baked into the table rows) + online-softmax attention in a
+    single pass — the q/k/v split, two norm passes, text pre-rotation, and
+    the separate pad pass of the unpacked design never touch HBM. Text
+    output is mean-coalesced over all windows (na.py:396-417)."""
     B, L, _ = xv.shape
     Hn, Dh = cfg.heads, cfg.head_dim
-
-    def qkv(x, branch):
-        out = linear(x, _pick(p_attn["proj_qkv"], branch))
-        out = out.reshape(*x.shape[:-1], 3, Hn, Dh)
-        return out[..., 0, :, :], out[..., 1, :, :], out[..., 2, :, :]
-
-    qv, kv, vv = qkv(xv, "vid")
-    qt, kt, vt = qkv(xt, "txt")
-
     eps = cfg.norm_eps
-    qv = rms_norm(qv, eps, _pick(p_attn["norm_q"], "vid")["weight"])
-    kv = rms_norm(kv, eps, _pick(p_attn["norm_k"], "vid")["weight"])
-    qt = rms_norm(qt, eps, _pick(p_attn["norm_q"], "txt")["weight"])
-    kt = rms_norm(kt, eps, _pick(p_attn["norm_k"], "txt")["weight"])
-
-    if plan.txt_cos is not None:  # 3B mmrope: text is roped too
-        qt = rope_lib.apply_rope(qt, plan.txt_cos, plan.txt_sin)
-        kt = rope_lib.apply_rope(kt, plan.txt_cos, plan.txt_sin)
-
     ltxt = plan.txt_len
+
+    qkv_v = linear(xv, _pick(p_attn["proj_qkv"], "vid"))   # (B, L, 3HD)
+    qkv_t = linear(xt, _pick(p_attn["proj_qkv"], "txt"))   # (B, Lt, 3HD)
+
+    wq_v = _pick(p_attn["norm_q"], "vid")["weight"]
+    wk_v = _pick(p_attn["norm_k"], "vid")["weight"]
+    wq_t = _pick(p_attn["norm_q"], "txt")["weight"]
+    wk_t = _pick(p_attn["norm_k"], "txt")["weight"]
+
     vid_chunks = []
-    txt_acc = jnp.zeros_like(qt, dtype=jnp.float32)
+    txt_acc = jnp.zeros((B, ltxt, Hn * Dh), jnp.float32)
 
     offset = 0
     for g in layer_plan.groups:
         n, wlen = g.idx.shape
         size = n * wlen
+        skv = wlen + ltxt
+        pad = (-skv) % 128
+        sk_pad = skv + pad
 
-        def window_slice(x):
-            return x[:, offset:offset + size].reshape(B, n, wlen, Hn, Dh)
-
-        qg, kg, vg = window_slice(qv), window_slice(kv), window_slice(vv)
+        win = qkv_v[:, offset:offset + size].reshape(B, n, wlen, 3 * Hn * Dh)
         offset += size
+        t = jnp.broadcast_to(qkv_t[:, None], (B, n, ltxt, 3 * Hn * Dh))
+        parts = [win, t]
+        if pad:
+            parts.append(jnp.zeros((B, n, pad, 3 * Hn * Dh), win.dtype))
+        packed = jnp.concatenate(parts, axis=2).reshape(
+            B * n, sk_pad, 3 * Hn * Dh)
 
-        def with_txt(win, txt):
-            t = jnp.broadcast_to(txt[:, None], (B, n, ltxt, Hn, Dh))
-            return jnp.concatenate([win, t], axis=2)
+        if g.cos is not None:
+            cos_e = np.pad(g.cos, ((0, sk_pad - skv), (0, 0)),
+                           constant_values=1.0)
+            sin_e = np.pad(g.sin, ((0, sk_pad - skv), (0, 0)))
+        else:
+            cos_e = np.ones((sk_pad, Dh), np.float32)
+            sin_e = np.zeros((sk_pad, Dh), np.float32)
+        cq, sq, ck, sk = _fold_norm_tables(cos_e, sin_e, wq_v, wq_t,
+                                           wk_v, wk_t, wlen, skv)
 
-        # video rope is fused into the attention kernel via extended tables
-        # (identity rows pass the pre-rotated/unrotated text through)
-        out = attention(
-            with_txt(qg, qt).reshape(B * n, wlen + ltxt, Hn, Dh),
-            with_txt(kg, kt).reshape(B * n, wlen + ltxt, Hn, Dh),
-            with_txt(vg, vt).reshape(B * n, wlen + ltxt, Hn, Dh),
-            rope_cos=g.cos, rope_sin=g.sin,
-        ).reshape(B, n, wlen + ltxt, Hn, Dh)
-
+        out = packed_attention(packed, Hn, Dh, cq, sq, ck, sk, eps,
+                               kv_len=skv).reshape(B, n, sk_pad, Hn * Dh)
         vid_chunks.append(out[:, :, :wlen].reshape(B, size, Hn * Dh))
-        txt_acc = txt_acc + out[:, :, wlen:].astype(jnp.float32).sum(axis=1)
+        txt_acc = txt_acc + out[:, :, wlen:skv].astype(jnp.float32).sum(axis=1)
 
     vid_out = jnp.concatenate(vid_chunks, axis=1)  # stays window-major
     txt_out = (txt_acc / layer_plan.num_windows).astype(xv.dtype)
-    txt_out = txt_out.reshape(B, ltxt, Hn * Dh)
 
     vid_out = linear(vid_out, _pick(p_attn["proj_out"], "vid"))
     txt_out = linear(txt_out, _pick(p_attn["proj_out"], "txt"))

@@ -139,6 +139,120 @@ def _fa_rope_kernel(cos_ref, sin_ref, q_ref, k_ref, v_ref, o_ref, *,
         o_ref[0, :, pl.ds(h * d, d)] = (acc / l).astype(o_ref.dtype)
 
 
+def _fa_packed_kernel(cosq_ref, sinq_ref, cosk_ref, sink_ref, q_ref, k_ref,
+                      v_ref, o_ref, *, scale: float, eps: float, kv_len: int,
+                      block_k: int, num_k_blocks: int, hb: int, d: int,
+                      block_q: int):
+    """Fully-fused windowed attention over a PACKED qkv operand.
+
+    q_ref/k_ref/v_ref are three views of the SAME (B, S, 3*H*D) projection
+    output (the qkv thirds are selected by block index maps), so the
+    strided q/k/v split never materializes. Per head this kernel fuses, in
+    reference order (mmattn.py:92-140):
+      rms qk-norm (the norm WEIGHT is folded into the rope tables by the
+      caller: rope(q*w) == q*(cos*w) + rot(q)*(sin*perm(w))), then RoPE
+      (video rows real tables, text rows their own tables baked in), then
+      the online-softmax stream. Replaces four separate full-tensor passes
+      (q/k/v split, 2x qk-norm, rope) per layer."""
+    qb = pl.program_id(2)
+    cos_q = cosq_ref[pl.ds(qb * block_q, block_q), :]
+    sin_q = sinq_ref[pl.ds(qb * block_q, block_q), :]
+    for h in range(hb):
+        q = q_ref[0, :, pl.ds(h * d, d)].astype(jnp.float32)
+        q = q * jax.lax.rsqrt(
+            jnp.mean(q * q, axis=1, keepdims=True) + eps)
+        q = (q * cos_q + _rot_half(q) * sin_q) * scale
+        bq = q.shape[0]
+        m = jnp.full((bq, 1), -jnp.inf, dtype=jnp.float32)
+        l = jnp.zeros((bq, 1), dtype=jnp.float32)
+        acc = jnp.zeros((bq, d), dtype=jnp.float32)
+
+        for kb in range(num_k_blocks):
+            kblk = k_ref[0, pl.ds(kb * block_k, block_k),
+                         pl.ds(h * d, d)].astype(jnp.float32)
+            kblk = kblk * jax.lax.rsqrt(
+                jnp.mean(kblk * kblk, axis=1, keepdims=True) + eps)
+            cos_k = cosk_ref[pl.ds(kb * block_k, block_k), :]
+            sin_k = sink_ref[pl.ds(kb * block_k, block_k), :]
+            kblk = kblk * cos_k + _rot_half(kblk) * sin_k
+            vblk = v_ref[0, pl.ds(kb * block_k, block_k), pl.ds(h * d, d)]
+            s = jax.lax.dot_general(
+                q, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if (kb + 1) * block_k > kv_len:
+                col = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, dimension=1)
+                s = jnp.where(col < kv_len, s, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jax.lax.dot_general(
+                p, vblk.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+
+        o_ref[0, :, pl.ds(h * d, d)] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_packed_attention(qkv, heads: int, d: int, cos_q, sin_q, cos_k,
+                           sin_k, eps: float, kv_len: int, scale=None):
+    """Packed fused attention: qkv (B, S, 3*H*D) with S already
+    lane-aligned; cos/sin (S, D) fp32 tables with qk-norm weights folded
+    and text rope baked. Returns (B, S, H*D)."""
+    b, s, _ = qkv.shape
+    assert s % _LANE == 0, "caller must pre-pad S to lane alignment"
+    scale = (d ** -0.5) if scale is None else scale
+    h = heads
+
+    hb = _head_group(h)
+    block_q = min(512, s)
+    while s % block_q:
+        block_q //= 2
+    block_k = min(1024, s)
+    while s % block_k:
+        block_k //= 2
+    hd = hb * d
+    nhg = h // hb  # blocks per third along the packed feature axis
+
+    kernel = functools.partial(
+        _fa_packed_kernel, scale=scale, eps=eps, kv_len=kv_len,
+        block_k=block_k, num_k_blocks=s // block_k, hb=hb, d=d,
+        block_q=block_q)
+    table_spec = pl.BlockSpec((s, d), lambda i, j, qb: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nhg, s // block_q),
+        in_specs=[
+            table_spec, table_spec, table_spec, table_spec,
+            pl.BlockSpec((1, block_q, hd), lambda i, j, qb: (i, qb, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, hd), lambda i, j, qb: (i, 0, nhg + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, hd), lambda i, j, qb: (i, 0, 2 * nhg + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j, qb: (i, qb, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h * d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=qkv.size * 2 + b * s * h * d * 2,
+            transcendentals=b * h * s * s,
+        ),
+    )(jnp.asarray(cos_q, jnp.float32), jnp.asarray(sin_q, jnp.float32),
+      jnp.asarray(cos_k, jnp.float32), jnp.asarray(sin_k, jnp.float32),
+      qkv, qkv, qkv)
+    return out
+
+
 def _fa_rope_mask_kernel(ids_ref, cos_ref, sin_ref, msk_ref, q_ref, k_ref,
                          v_ref, o_ref, *, scale: float, block_k: int,
                          num_k_blocks: int, hb: int, d: int, block_q: int):
@@ -277,15 +391,21 @@ def flash_windowed_attention(q, k, v, scale, rope_cos, rope_sin, table_ids,
     return out.reshape((*batch_shape, sq, h, d))
 
 
-def flash_attention(q, k, v, scale=None, rope_cos=None, rope_sin=None):
+def flash_attention(q, k, v, scale=None, rope_cos=None, rope_sin=None,
+                    kv_len=None):
     """q: (..., Sq, H, D); k, v: (..., Sk, H, D) -> (..., Sq, H, D).
 
     rope_cos/rope_sin: optional (S, D) fp32 extended tables
     (models/dit/rope.py extend_tables) applied to q and k inside the kernel
-    (Sq must equal Sk for the fused-rope path)."""
+    (Sq must equal Sk for the fused-rope path).
+
+    kv_len: number of REAL kv rows when the caller pre-padded k/v to lane
+    alignment (folding the pad into its own concat saves a full-tensor pad
+    pass per layer); defaults to Sk."""
     d = q.shape[-1]
     h = q.shape[-2]
     sq, sk = q.shape[-3], k.shape[-3]
+    kv_len = sk if kv_len is None else kv_len
     scale = (d ** -0.5) if scale is None else scale
     batch_shape = q.shape[:-3]
 
@@ -314,7 +434,7 @@ def flash_attention(q, k, v, scale=None, rope_cos=None, rope_sin=None):
     hd = hb * d
 
     use_rope = rope_cos is not None
-    kern_args = dict(scale=scale, kv_len=sk, block_k=block_k,
+    kern_args = dict(scale=scale, kv_len=kv_len, block_k=block_k,
                      num_k_blocks=sk_pad // block_k, hb=hb, d=d,
                      block_q=block_q)
     data_specs = [
