@@ -46,12 +46,15 @@ def causal_conv3d(params: dict, path: str, x: jnp.ndarray, state: State,
                   stride: Tuple[int, int, int] = (1, 1, 1),
                   t_pad: int = 0,
                   s_pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0)),
-                  new_state: State = None) -> jnp.ndarray:
+                  new_state: State = None,
+                  pre_extended: bool = False) -> jnp.ndarray:
     """Causal 3D convolution with functional temporal memory.
 
     x: (B, T, H, W, Cin). `state` holds the previous slice's tail (or None for
     the first / non-sliced call); `new_state` (if a dict) receives this
-    slice's tail for the next call.
+    slice's tail for the next call. pre_extended=True means the caller
+    already prepended the causal head frames (the fused
+    norm+silu+head kernel, ops/fused_norm.py).
     """
     p = _get(params, path)
     w = p["w"]  # (kt, kh, kw, ci, co)
@@ -59,7 +62,9 @@ def causal_conv3d(params: dict, path: str, x: jnp.ndarray, state: State,
     st = stride[0]
     cache = kt - st
 
-    if state is not None and path in state:
+    if pre_extended:
+        x_ext = x
+    elif state is not None and path in state:
         head = state[path].astype(x.dtype)
         x_ext = jnp.concatenate([head, x], axis=1)
     elif t_pad > 0:
@@ -114,18 +119,51 @@ def frame_group_norm(params: dict, path: str, x: jnp.ndarray,
     return out.astype(x.dtype).reshape(b, t, h, w, c)
 
 
+def _fused_norm_ok() -> bool:
+    """Opt-in only (SEEDVR2_FUSED_NORM=1): the Pallas norm+silu+head kernel
+    is numerically equivalent (bf16-noise class vs fp32 truth) but MEASURED
+    SLOWER than XLA's fused composition on v5e — 4.0 s vs 1.39 s per 4K
+    decode tile. The pallas_call is a fusion barrier: XLA can no longer
+    overlap the norm chain with the neighboring convs, which outweighs the
+    saved extend_head concat. Kept as a tested negative result
+    (docs/performance.md)."""
+    import os
+
+    if os.environ.get("SEEDVR2_FUSED_NORM") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
+                   x: jnp.ndarray, state: State, new_state: State,
+                   num_groups: int) -> jnp.ndarray:
+    """GroupNorm -> SiLU -> full causal (3,3,3) conv (optionally fused via
+    ops/fused_norm.py — see _fused_norm_ok)."""
+    if state is None and _fused_norm_ok():
+        from ...ops.fused_norm import norm_silu_head
+
+        p = _get(params, norm_path)
+        ext = norm_silu_head(x, p["weight"], p["b"], num_groups)
+        return causal_conv3d(params, conv_path, ext, None, t_pad=1,
+                             s_pad=((1, 1), (1, 1)), new_state=new_state,
+                             pre_extended=True)
+    h = frame_group_norm(params, norm_path, x, num_groups)
+    h = silu(h)
+    return causal_conv3d(params, conv_path, h, state, t_pad=1,
+                         s_pad=((1, 1), (1, 1)), new_state=new_state)
+
+
 def resnet_block(params: dict, path: str, x: jnp.ndarray, state: State,
                  new_state: State, in_ch: int, out_ch: int,
                  num_groups: int = 32) -> jnp.ndarray:
     """ResnetBlock3D with full (3,3,3) causal convs (time_receptive_field=full)."""
-    h = frame_group_norm(params, f"{path}.norm1", x, num_groups)
-    h = silu(h)
-    h = causal_conv3d(params, f"{path}.conv1", h, state, t_pad=1,
-                      s_pad=((1, 1), (1, 1)), new_state=new_state)
-    h = frame_group_norm(params, f"{path}.norm2", h, num_groups)
-    h = silu(h)
-    h = causal_conv3d(params, f"{path}.conv2", h, state, t_pad=1,
-                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    h = norm_silu_conv(params, f"{path}.norm1", f"{path}.conv1", x, state,
+                       new_state, num_groups)
+    h = norm_silu_conv(params, f"{path}.norm2", f"{path}.conv2", h, state,
+                       new_state, num_groups)
     if in_ch != out_ch:
         x = causal_conv3d(params, f"{path}.conv_shortcut", x, state,
                           new_state=new_state)
@@ -259,10 +297,8 @@ def encoder_core(params: dict, cfg: VAEConfig, x: jnp.ndarray,
 
     x = _mid_block(params, "encoder.mid_block", x, state, new_state,
                    chans[-1], g)
-    x = frame_group_norm(params, "encoder.conv_norm_out", x, g)
-    x = silu(x)
-    x = causal_conv3d(params, "encoder.conv_out", x, state, t_pad=1,
-                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    x = norm_silu_conv(params, "encoder.conv_norm_out", "encoder.conv_out",
+                       x, state, new_state, g)
     return x, new_state
 
 
@@ -322,8 +358,6 @@ def decoder_core(params: dict, cfg: VAEConfig, z: jnp.ndarray,
             x = _upsample3d(params, f"{base}.upsamplers.0", x, state, new_state,
                             temporal_up, first_slice)
 
-    x = frame_group_norm(params, "decoder.conv_norm_out", x, g)
-    x = silu(x)
-    x = causal_conv3d(params, "decoder.conv_out", x, state, t_pad=1,
-                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    x = norm_silu_conv(params, "decoder.conv_norm_out", "decoder.conv_out",
+                       x, state, new_state, g)
     return x, new_state

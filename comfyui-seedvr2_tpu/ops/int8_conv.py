@@ -1,0 +1,187 @@
+"""int8 3D convolution for the video VAE — shifted-matmul Pallas kernel.
+
+XLA's TPU conv runs int8 inputs at bf16 rate (measured 1.03x, docs/
+performance.md), so the int8 MXU's 2x peak (394 TOPS on v5e) is only
+reachable with a custom kernel. A 3x3x3 conv is 27 shifted 1x1 convs:
+
+    out[t, h, w] = sum_{dt,dh,dw} x[t+dt, h+dh, w+dw] @ W[dt, dh, dw]
+
+Kernel design (per grid step (t, h-block, co-block)):
+ - the (3, hb+2, Wp, C) input window is DMA'd from HBM once per (t, h)
+   (halos are not expressible as BlockSpec blocks; the co-innermost grid
+   reuses the window across co-blocks via @pl.when(co == 0));
+ - the two dw!=0 shifts are hoisted: TWO sublane rolls of the whole window
+   instead of a shuffle per tap (the v1 per-tap variant measured 95 TOP/s
+   — shuffle-bound);
+ - W is padded to the int8 sublane tile (32) so the (hb, Wp, C) ->
+   (hb*Wp, C) operand merge is layout-free;
+ - 27 (hb*Wp, C) @ (C, co_block) int8 matmuls accumulate in int32 VMEM;
+   the epilogue dequantizes acc * x_scale[t] * w_scale[co] -> bf16.
+
+Quantization: per-tensor activation scale (the tap window spans 3 frames,
+so finer-than-window scales would need per-dt accumulators), per-output-
+channel weight scales. Accuracy in tests/test_int8_conv.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SUBLANE = 32  # int8 sublane tile
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _conv_kernel(xs_ref, x_hbm, w_ref, ws_ref, o_ref, acc, win, rot_all,
+                 sem, *, hb: int, W: int, Wp: int, C: int, cob: int):
+    t = pl.program_id(0)
+    hblk = pl.program_id(1)
+    co = pl.program_id(2)
+
+    @pl.when(co == 0)
+    def _load():
+        copy = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(t, 3), pl.ds(hblk * hb, hb + 2)], win, sem)
+        copy.start()
+        copy.wait()
+
+        def shift_w(k):
+            # x[j+k] at col j (sublane shift; Mosaic lowers the unaligned
+            # slice+concat to vector shuffles — done once per window, not
+            # per tap, which was the v1 bottleneck)
+            vals = win[:]
+            pad = jnp.zeros_like(vals[:, :, :k])
+            return jnp.concatenate([vals[:, :, k:], pad], axis=2)
+
+        # the 3 dw-shifts live side by side on the lane axis, so each
+        # (dt, dh) pair becomes ONE K=3C matmul (fewer, larger MXU ops and
+        # 3x fewer accumulator read-modify-writes than per-tap dots)
+        rot_all[:, :, :, :C] = win[:]
+        rot_all[:, :, :, C:2 * C] = shift_w(1)
+        rot_all[:, :, :, 2 * C:] = shift_w(2)
+
+    res = jnp.zeros_like(acc)  # value-carried: lets Mosaic pipeline the
+    for dt in range(3):        # dots instead of serializing on scratch RMW
+        for dh in range(3):
+            a = rot_all[dt, pl.ds(dh, hb)].reshape(hb * Wp, 3 * C)
+            res = res + jax.lax.dot_general(
+                a, w_ref[dt * 3 + dh],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+    scale = xs_ref[t] * ws_ref[0, :]                       # (cob,)
+    out = res.astype(jnp.float32) * scale[None, :]
+    o_ref[0] = out.reshape(hb, Wp, cob)[:, :W].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hb", "cob", "interpret"))
+def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
+                w_scales: jnp.ndarray, hb: int = 8, cob: int = 128,
+                interpret: bool = False) -> jnp.ndarray:
+    """x_ext: (T+2, H+2, Wp, C) int8 — temporally extended, spatially
+    zero-padded input with Wp = round_up(W+2, 32) (batch folded by the
+    caller); w: (27, C, Co) int8; x_scales: (T,) f32 per-output-frame
+    scales; w_scales: (Co,) f32. Returns (T, H, W, Co) bf16 with
+    W = Wp - 2 output columns... W is inferred as the conv-valid width
+    (Wp_unpadded - 2); the caller passes the true W via the padded layout:
+    out width = Wp - 2 is cropped to the caller's target by slicing."""
+    Tp, Hp, Wp, C = x_ext.shape
+    T, H = Tp - 2, Hp - 2
+    W = Wp - 2
+    Co = w.shape[-1]
+    assert w.shape == (27, C, Co)
+    assert Wp % _SUBLANE == 0, "caller must pad W to the int8 sublane tile"
+    assert x_scales.shape == (T,) and w_scales.shape == (Co,)
+    while H % hb:
+        hb //= 2
+    hb = max(hb, 1)
+    # the 3 stored windows (raw + 2 dw-rotations) dominate VMEM; keep them
+    # under ~5 MB so roll temps + double-buffered w/out blocks + acc fit
+    # the 16 MB scoped budget
+    while hb > 1 and 3 * 3 * (hb + 2) * Wp * C > 5_000_000:
+        hb //= 2
+        while H % hb:
+            hb //= 2
+    while Co % cob:
+        cob //= 2
+
+    kernel = functools.partial(_conv_kernel, hb=hb, W=W, Wp=Wp, C=C, cob=cob)
+    grid = (T, H // hb, Co // cob)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+                pl.BlockSpec((9, 3 * C, cob),
+                             lambda t, h, co, xs: (0, 0, co),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cob), lambda t, h, co, xs: (0, co),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, hb, W, cob),
+                                   lambda t, h, co, xs: (t, h, 0, co)),
+            scratch_shapes=[
+                pltpu.VMEM((hb * Wp, cob), jnp.int32),
+                pltpu.VMEM((3, hb + 2, Wp, C), jnp.int8),
+                pltpu.VMEM((3, hb + 2, Wp, 3 * C), jnp.int8),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, H, W, Co), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * H * W * C * Co * 27,
+            bytes_accessed=int(x_ext.size * 3 + T * H * W * Co * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_scales, x_ext, w.reshape(9, 3 * C, Co), w_scales.reshape(1, Co))
+    return out
+
+
+def quantize_conv_weight(w: jnp.ndarray):
+    """(kt, kh, kw, Ci, Co) float -> ((27, Ci, Co) int8, (Co,) f32 scales)
+    per output channel."""
+    kt, kh, kw, ci, co = w.shape
+    w32 = jnp.asarray(w, jnp.float32).reshape(kt * kh * kw, ci, co)
+    absmax = jnp.max(jnp.abs(w32), axis=(0, 1))
+    s = absmax / 127.0
+    inv = jnp.where(s > 0, 1.0 / s, 0.0)
+    q = jnp.clip(jnp.round(w32 * inv[None, None, :]), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def int8_causal_conv3d(x: jnp.ndarray, w: jnp.ndarray, bias,
+                       hb: int = 8, cob: int = 128,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Drop-in int8 path for a full causal (3,3,3)/stride-1 conv on one
+    batch element: x (1, T, H, W, Ci) bf16 (NOT yet extended), w
+    (3, 3, 3, Ci, Co). Handles the INITIALIZING head (repeat frame 0),
+    spatial zero-pad (W padded to the int8 sublane tile), bias, and a
+    per-tensor activation scale."""
+    assert x.shape[0] == 1
+    T, H, W = x.shape[1], x.shape[2], x.shape[3]
+    x32 = x[0].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32))
+    inv = jnp.where(absmax > 0, 127.0 / absmax, 0.0)
+    xq = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+    head = jnp.repeat(xq[:1], 2, axis=0)
+    wp = _round_up(W + 2, _SUBLANE)
+    x_ext = jnp.pad(jnp.concatenate([head, xq], axis=0),
+                    ((0, 0), (1, 1), (1, wp - W - 1), (0, 0)))
+    gscale = jnp.where(absmax > 0, absmax / 127.0, 0.0)
+    wq, ws = quantize_conv_weight(w)
+    out = int8_conv3d(x_ext, wq, jnp.broadcast_to(gscale, (T,)), ws,
+                      hb=hb, cob=cob, interpret=interpret)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out[None, :, :, :W]

@@ -1,0 +1,68 @@
+"""int8 shifted-matmul conv kernel: interpret-mode parity vs lax conv."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from seedvr2_tpu.ops.int8_conv import (int8_causal_conv3d, int8_conv3d,
+                                       quantize_conv_weight)
+
+
+def _ref_conv(x_ext, w, dims=("NDHWC", "DHWIO", "NDHWC")):
+    return jax.lax.conv_general_dilated(
+        x_ext[None].astype(jnp.float32), w.astype(jnp.float32),
+        (1, 1, 1), [(0, 0), (0, 0), (0, 0)], dimension_numbers=dims)[0]
+
+
+def test_int8_conv3d_matches_dequant_reference():
+    """Kernel (interpret) vs fp32 conv on the SAME quantized operands —
+    checks the shifted-matmul + halo + rotation indexing, not quantization
+    error. Wp=32 exercises the sublane-tile layout."""
+    rng = np.random.default_rng(0)
+    T, H, Wp, C, Co = 3, 8, 32, 8, 16
+    x_ext = jnp.asarray(rng.integers(-127, 128, (T + 2, H + 2, Wp, C)),
+                        jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (27, C, Co)), jnp.int8)
+    xs = jnp.asarray(rng.uniform(0.01, 0.1, (T,)), jnp.float32)
+    ws = jnp.asarray(rng.uniform(0.01, 0.1, (Co,)), jnp.float32)
+
+    out = np.asarray(int8_conv3d(x_ext, wq, xs, ws, hb=4, cob=16,
+                                 interpret=True), np.float32)
+
+    w5 = np.asarray(wq, np.float32).reshape(3, 3, 3, C, Co)
+    ref = np.asarray(_ref_conv(x_ext, jnp.asarray(w5)), np.float32)
+    ref = ref * np.asarray(xs)[:, None, None, None] * np.asarray(ws)
+    ref = np.asarray(jnp.asarray(ref).astype(jnp.bfloat16), np.float32)
+    assert out.shape == (T, H, Wp - 2, Co)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_int8_causal_conv3d_accuracy():
+    """End-to-end int8 causal conv vs the bf16 reference path: quantization
+    error must stay in the ~1% class at VAE-like magnitudes."""
+    from seedvr2_tpu.models.vae.model import causal_conv3d
+
+    rng = np.random.default_rng(1)
+    T, H, W, C, Co = 3, 8, 16, 8, 8
+    x = jnp.asarray(rng.standard_normal((1, T, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, C, Co)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Co,)) * 0.01, jnp.float32)
+
+    ref = np.asarray(causal_conv3d(
+        {"c": {"w": w, "b": b}}, "c", x, None, t_pad=1,
+        s_pad=((1, 1), (1, 1))), np.float32)
+    out = np.asarray(int8_causal_conv3d(x, w, b, hb=4, interpret=True),
+                     np.float32)
+    assert out.shape == ref.shape
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.03, f"int8 conv rel error {rel}"
+
+
+def test_quantize_conv_weight_roundtrip():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)), jnp.float32)
+    q, s = quantize_conv_weight(w)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    ref = np.asarray(w).reshape(27, 8, 16)
+    assert np.abs(back - ref).max() / np.abs(ref).max() < 0.01

@@ -166,6 +166,37 @@ def test_decode_tiled_scan_matches_eager(pair):
     np.testing.assert_allclose(scan_out, eager, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_norm_silu_head_matches_composition():
+    """Pallas fused groupnorm+silu+causal-head (interpret mode) vs the
+    unfused jnp composition it replaces on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from seedvr2_tpu.ops.fused_norm import (norm_silu_head,
+                                            norm_silu_head_reference)
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((2, 3, 12, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+    fused = np.asarray(norm_silu_head(x, w, b, groups=4, head_frames=2,
+                                      interpret=True))
+    ref = np.asarray(norm_silu_head_reference(x, w, b, groups=4,
+                                              head_frames=2))
+    assert fused.shape == ref.shape == (2, 5, 12, 16, 8)
+    np.testing.assert_allclose(fused, ref, rtol=2e-5, atol=2e-5)
+    # head frames repeat the processed frame 0
+    np.testing.assert_array_equal(fused[:, 0], fused[:, 1])
+    np.testing.assert_allclose(fused[:, 1], fused[:, 2], rtol=2e-5,
+                               atol=2e-5)
+
+    # odd H exercises the hb=1 divisor path
+    x2 = jnp.asarray(rng.standard_normal((1, 2, 7, 16, 8)).astype(np.float32))
+    f2 = np.asarray(norm_silu_head(x2, w, b, groups=4, interpret=True))
+    r2 = np.asarray(norm_silu_head_reference(x2, w, b, groups=4))
+    np.testing.assert_allclose(f2, r2, rtol=2e-5, atol=2e-5)
+
+
 def test_plan_grid_properties():
     """_plan_grid: coverage, area cap, overlap floor, single shape; and it
     beats the stride sweep's compute on the 4K decode grid."""
