@@ -56,7 +56,7 @@ def _shapes(on_tpu: bool):
 
         return dict(dit_cfg=DIT_3B, vae_cfg=VAE_V3,
                     in_h=2160, in_w=3840, lt=2, lh=270, lw=480, txt_len=58,
-                    iters=2, enc_tile=(1024, 1024), dec_tile=(1088, 1088))
+                    iters=3, enc_tile=(1024, 1024), dec_tile=(1088, 1088))
     from seedvr2_tpu.core.configs import VAEConfig, small_test_config
 
     return dict(dit_cfg=small_test_config(),
@@ -191,24 +191,34 @@ def main():
         print(json.dumps({"phase": sys.argv[1], "seconds": t}))
         return
 
-    times = {}
-    for phase in ("encode", "dit", "decode"):
-        _note(f"phase {phase}: launching")
+    def run_phase(phase, env_extra=None):
+        _note(f"phase {phase}{' ' + str(env_extra) if env_extra else ''}: "
+              "launching")
+        env = dict(os.environ, **(env_extra or {}))
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__), phase],
             cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True)
+            capture_output=True, text=True, env=env)
         if res.returncode != 0:
             _note(f"phase {phase} FAILED:\n{res.stderr[-2000:]}")
             raise SystemExit(1)
         line = [ln for ln in res.stdout.splitlines()
                 if ln.startswith("{")][-1]
-        times[phase] = json.loads(line)["seconds"]
-        _note(f"phase {phase}: {times[phase]:.3f} s")
+        t = json.loads(line)["seconds"]
+        _note(f"phase {phase}: {t:.3f} s")
+        return t
+
+    times = {phase: run_phase(phase) for phase in ("encode", "dit",
+                                                   "decode")}
+    # the int8 serving lane (--quant w8a8), reported alongside the bf16
+    # default
+    t_w8a8 = run_phase("dit", {"BENCH_QUANT": "w8a8"})
 
     total = sum(times.values())
     e2e_fps = FRAMES / total
     dit_fps = FRAMES / times["dit"]
+    w8a8_fps = FRAMES / t_w8a8
+    e2e_w8a8_fps = FRAMES / (times["encode"] + t_w8a8 + times["decode"])
     print(json.dumps({
         "metric": "3B end-to-end upscale 720p->4K frames/sec/chip "
                   "(VAE encode + 1-step DiT + tiled VAE decode)",
@@ -220,6 +230,10 @@ def main():
         "decode_s": round(times["decode"], 3),
         "dit_frames_per_s": round(dit_fps, 4),
         "dit_vs_baseline": round(dit_fps / A100_DIT_BASELINE_FPS, 3),
+        "dit_w8a8_s": round(t_w8a8, 3),
+        "dit_w8a8_frames_per_s": round(w8a8_fps, 4),
+        "dit_w8a8_vs_baseline": round(w8a8_fps / A100_DIT_BASELINE_FPS, 3),
+        "e2e_w8a8_frames_per_s": round(e2e_w8a8_fps, 4),
     }))
 
 

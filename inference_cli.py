@@ -91,6 +91,18 @@ def parse_arguments():
                       choices=["auto", "off"],
                       help="shard batches over all local TPU chips (replaces "
                            "the reference's --cuda_device fan-out)")
+    perf.add_argument("--num_hosts", type=int, default=1,
+                      help="multi-host (DCN) frame fan-out: run the same "
+                           "command on every host with its --host_index, "
+                           "then once with --join_parts (replaces the "
+                           "reference's multi-GPU subprocess fan-out for "
+                           "cross-host scale)")
+    perf.add_argument("--host_index", type=int, default=None,
+                      help="this host's index in [0, num_hosts); defaults "
+                           "to jax.process_index()")
+    perf.add_argument("--join_parts", action="store_true",
+                      help="assemble the per-host .partN.npy segments into "
+                           "the final output (Hann-blended seams)")
     perf.add_argument("--quant", type=str, default="none",
                       choices=["none", "q8", "q4k", "w8a8"],
                       help="DiT serving quantization: q8 = int8 weights + "
@@ -233,6 +245,8 @@ def process_frames(runner, frames: np.ndarray, args, debug,
 
 
 def process_video(args, debug):
+    if args.num_hosts > 1:
+        return _process_video_multihost(args, debug)
     reader = video_io.VideoReader(args.input, args.skip_first_frames,
                                   args.load_cap)
     out_format = args.output_format or "mp4"
@@ -319,6 +333,56 @@ def _parity_report(args, result):
     parity.print_report(report)
     if report.get("passed") is False:
         sys.exit(1)
+
+
+def _process_video_multihost(args, debug):
+    """Multi-host (DCN) frame fan-out: this host processes its frame range
+    into a .npy segment; --join_parts assembles the segments (see
+    seedvr2_tpu/parallel/multihost.py). The output path must be shared (or
+    segments copied) for the join step."""
+    from seedvr2_tpu.parallel import multihost
+
+    out_path = args.output or default_output_path(args.input, "mp4")
+    probe = video_io.VideoReader(args.input, args.skip_first_frames,
+                                 args.load_cap)
+    total, fps = probe.remaining, probe.fps
+    probe.close()
+    ranges = multihost.frame_ranges(total, args.num_hosts,
+                                    args.temporal_overlap)
+
+    if args.join_parts:
+        video = multihost.join_segments(out_path, args.num_hosts,
+                                        args.temporal_overlap)
+        writer = video_io.VideoWriter(out_path, fps, video.shape[1:3])
+        writer.write_frames(video)
+        writer.close()
+        debug.log(f"Joined {args.num_hosts} segments -> {out_path} "
+                  f"({video.shape[0]} frames)", category="generation",
+                  force=True)
+        return out_path
+
+    idx = (args.host_index if args.host_index is not None
+           else multihost.default_host_index())
+    if not (0 <= idx < args.num_hosts):
+        print(f"error: --host_index {idx} outside [0, {args.num_hosts})",
+              file=sys.stderr)
+        sys.exit(2)
+    start, end = ranges[idx]
+    debug.log(f"host {idx}/{args.num_hosts}: frames [{start}, {end}) of "
+              f"{total}", category="setup", force=True)
+    reader = video_io.VideoReader(args.input,
+                                  args.skip_first_frames + start,
+                                  end - start)
+    runner = make_runner(args, debug)
+    frames = reader.read_frames(end - start)
+    reader.close()
+    result = process_frames(
+        runner, frames, args, debug,
+        prepend_frames=args.prepend_frames if idx == 0 else 0)
+    path = multihost.save_segment(out_path, idx, result)
+    debug.log(f"host {idx}: wrote segment {path} ({result.shape[0]} "
+              "frames)", category="generation", force=True)
+    return path
 
 
 def process_image(args, debug):
