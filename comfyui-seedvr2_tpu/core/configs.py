@@ -101,6 +101,10 @@ class VAEConfig:
     # VideoAutoencoderKL default time_receptive_field="full": all resnet convs
     # are full causal 3x3x3 (attn_video_vae.py:1087).
     time_receptive_field: str = "full"
+    # "int8": resnet/conv_out 3x3x3 convs run on the int8 MXU via the
+    # shifted-matmul kernel (ops/int8_conv.py) — opt-in serving mode
+    # (--vae_quant int8); accuracy characterized in tests/test_int8_conv.py
+    conv_quant: str = "none"
 
     @property
     def slicing_latent_min_size(self) -> int:

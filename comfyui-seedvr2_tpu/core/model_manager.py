@@ -222,6 +222,7 @@ def configure_runner(
     compute_dtype=COMPUTE_DTYPE,
     keep_quantized: bool = False,
     quant: str = "none",
+    vae_quant: str = "none",
     tile_mode: str = "uniform",
     **_compat_kwargs,
 ) -> VideoDiffusionRunner:
@@ -239,7 +240,8 @@ def configure_runner(
         dit_model, vae_model, encode_tiled, encode_tile_size,
         encode_tile_overlap, decode_tiled, decode_tile_size,
         decode_tile_overlap, attention_mode, keep_quantized, quant,
-        compute_dtype, blocks_to_swap, sorted(bs_cfg.items()), tile_mode)))
+        vae_quant, compute_dtype, blocks_to_swap, sorted(bs_cfg.items()),
+        tile_mode)))
     cached = cache.get_runner(runner_key)
     if cached is not None:
         debug.log("Reusing cached runner", category="reuse")
@@ -303,6 +305,10 @@ def configure_runner(
         with debug.timer("load_vae", "VAE weights load"):
             vae_params, vae_cfg = load_vae_checkpoint(vae_path, compute_dtype)
             jax.block_until_ready(vae_params)
+        if vae_quant != "none":
+            from dataclasses import replace as _replace
+
+            vae_cfg = _replace(vae_cfg, conv_quant=vae_quant)
         vae = VideoVAE(vae_params, vae_cfg, dtype=compute_dtype)
         if vae_cache:
             cache.set_vae(vae_path, vae)

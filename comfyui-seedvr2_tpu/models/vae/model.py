@@ -139,9 +139,34 @@ def _fused_norm_ok() -> bool:
 
 def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
                    x: jnp.ndarray, state: State, new_state: State,
-                   num_groups: int) -> jnp.ndarray:
+                   num_groups: int, conv_quant: str = "none") -> jnp.ndarray:
     """GroupNorm -> SiLU -> full causal (3,3,3) conv (optionally fused via
-    ops/fused_norm.py — see _fused_norm_ok)."""
+    ops/fused_norm.py — see _fused_norm_ok; optionally int8 via
+    ops/int8_conv.py when conv_quant == "int8" — the normalized input makes
+    the per-tensor activation scale well-conditioned)."""
+    p = _get(params, conv_path)
+    from ...ops.int8_conv import int8_causal_conv3d, int8_conv_viable
+
+    if conv_quant == "int8" and state is None and x.shape[0] == 1 \
+            and int8_conv_viable(p["w"].shape[-2], p["w"].shape[-1],
+                                 x.shape[3]):
+        # non-viable shapes stay bf16: conv_out's Co=3 (output-critical RGB
+        # projection), sub-128 channel dims, and the C=512 wide-W stage
+        # whose halo windows exceed the kernel's VMEM budget
+
+        h = frame_group_norm(params, norm_path, x, num_groups)
+        h = silu(h)
+        cache = p["w"].shape[0] - 1  # kt - stride
+        if new_state is not None and cache > 0:
+            # tail of the EXTENDED input (head = repeated first frame),
+            # matching causal_conv3d's state contract for any T
+            t_len = h.shape[1]
+            if t_len >= cache:
+                new_state[conv_path] = h[:, -cache:]
+            else:
+                new_state[conv_path] = jnp.concatenate(
+                    [jnp.repeat(h[:, :1], cache - t_len, axis=1), h], axis=1)
+        return int8_causal_conv3d(h, p["w"], p.get("b"))
     if state is None and _fused_norm_ok():
         from ...ops.fused_norm import norm_silu_head
 
@@ -158,12 +183,12 @@ def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
 
 def resnet_block(params: dict, path: str, x: jnp.ndarray, state: State,
                  new_state: State, in_ch: int, out_ch: int,
-                 num_groups: int = 32) -> jnp.ndarray:
+                 num_groups: int = 32, conv_quant: str = "none") -> jnp.ndarray:
     """ResnetBlock3D with full (3,3,3) causal convs (time_receptive_field=full)."""
     h = norm_silu_conv(params, f"{path}.norm1", f"{path}.conv1", x, state,
-                       new_state, num_groups)
+                       new_state, num_groups, conv_quant)
     h = norm_silu_conv(params, f"{path}.norm2", f"{path}.conv2", h, state,
-                       new_state, num_groups)
+                       new_state, num_groups, conv_quant)
     if in_ch != out_ch:
         x = causal_conv3d(params, f"{path}.conv_shortcut", x, state,
                           new_state=new_state)
@@ -245,12 +270,13 @@ def attn_block(params: dict, path: str, x: jnp.ndarray,
     return out.reshape(b, t, h, w, c) + x
 
 
-def _mid_block(params, path, x, state, new_state, ch, num_groups):
+def _mid_block(params, path, x, state, new_state, ch, num_groups,
+               conv_quant="none"):
     x = resnet_block(params, f"{path}.resnets.0", x, state, new_state, ch, ch,
-                     num_groups)
+                     num_groups, conv_quant)
     x = attn_block(params, f"{path}.attentions.0", x, num_groups)
     x = resnet_block(params, f"{path}.resnets.1", x, state, new_state, ch, ch,
-                     num_groups)
+                     num_groups, conv_quant)
     return x
 
 
@@ -343,7 +369,7 @@ def decoder_core(params: dict, cfg: VAEConfig, z: jnp.ndarray,
     x = causal_conv3d(params, "decoder.conv_in", z, state, t_pad=1,
                       s_pad=((1, 1), (1, 1)), new_state=new_state)
     x = _mid_block(params, "decoder.mid_block", x, state, new_state,
-                   chans[0], g)
+                   chans[0], g, cfg.conv_quant)
 
     in_ch = chans[0]
     for i in range(n_blocks):
@@ -351,7 +377,8 @@ def decoder_core(params: dict, cfg: VAEConfig, z: jnp.ndarray,
         base = f"decoder.up_blocks.{i}"
         for j in range(cfg.layers_per_block + 1):
             x = resnet_block(params, f"{base}.resnets.{j}", x, state, new_state,
-                             in_ch if j == 0 else out_ch, out_ch, g)
+                             in_ch if j == 0 else out_ch, out_ch, g,
+                             cfg.conv_quant)
         in_ch = out_ch
         if i < n_blocks - 1:
             temporal_up = i < cfg.temporal_scale_num
@@ -359,5 +386,5 @@ def decoder_core(params: dict, cfg: VAEConfig, z: jnp.ndarray,
                             temporal_up, first_slice)
 
     x = norm_silu_conv(params, "decoder.conv_norm_out", "decoder.conv_out",
-                       x, state, new_state, g)
+                       x, state, new_state, g, cfg.conv_quant)
     return x, new_state

@@ -37,42 +37,58 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _conv_kernel(xs_ref, x_hbm, w_ref, ws_ref, o_ref, acc, win, rot_all,
-                 sem, *, hb: int, W: int, Wp: int, C: int, cob: int):
+def _conv_kernel(xs_ref, x_hbm, w_ref, ws_ref, o_ref, acc, win, rot1, rot2,
+                 sem, *, hb: int, W: int, Wp: int, C: int, cob: int,
+                 n_h: int, n_steps: int):
+    """Software-pipelined: two window slots; while program (t, h) computes
+    from slot step%2, the DMA for (t, h)+1 fills the other slot. win:
+    (2, 3, hb+2, Wp, C) int8; sem: (2,) DMA semaphores."""
     t = pl.program_id(0)
     hblk = pl.program_id(1)
     co = pl.program_id(2)
+    step = t * n_h + hblk
+    slot = jax.lax.rem(step, 2)
+
+    def start_copy(s, slot_idx):
+        ts = s // n_h
+        hs = jax.lax.rem(s, n_h)
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ts, 3), pl.ds(hs * hb, hb + 2)],
+            win.at[slot_idx], sem.at[slot_idx]).start()
 
     @pl.when(co == 0)
     def _load():
-        copy = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(t, 3), pl.ds(hblk * hb, hb + 2)], win, sem)
-        copy.start()
-        copy.wait()
+        @pl.when(step == 0)
+        def _():
+            start_copy(0, 0)
+
+        @pl.when(step + 1 < n_steps)
+        def _():
+            start_copy(step + 1, jax.lax.rem(step + 1, 2))
+
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(t, 3), pl.ds(hblk * hb, hb + 2)],
+            win.at[slot], sem.at[slot]).wait()
 
         def shift_w(k):
-            # x[j+k] at col j (sublane shift; Mosaic lowers the unaligned
-            # slice+concat to vector shuffles — done once per window, not
-            # per tap, which was the v1 bottleneck)
-            vals = win[:]
+            # x[j+k] at col j (sublane shuffle, hoisted once per window)
+            vals = win[slot]
             pad = jnp.zeros_like(vals[:, :, :k])
             return jnp.concatenate([vals[:, :, k:], pad], axis=2)
 
-        # the 3 dw-shifts live side by side on the lane axis, so each
-        # (dt, dh) pair becomes ONE K=3C matmul (fewer, larger MXU ops and
-        # 3x fewer accumulator read-modify-writes than per-tap dots)
-        rot_all[:, :, :, :C] = win[:]
-        rot_all[:, :, :, C:2 * C] = shift_w(1)
-        rot_all[:, :, :, 2 * C:] = shift_w(2)
+        rot1[:] = shift_w(1)
+        rot2[:] = shift_w(2)
 
-    res = jnp.zeros_like(acc)  # value-carried: lets Mosaic pipeline the
-    for dt in range(3):        # dots instead of serializing on scratch RMW
+    res = jnp.zeros_like(acc)
+    wins = (win[slot], rot1[:], rot2[:])
+    for dt in range(3):
         for dh in range(3):
-            a = rot_all[dt, pl.ds(dh, hb)].reshape(hb * Wp, 3 * C)
-            res = res + jax.lax.dot_general(
-                a, w_ref[dt * 3 + dh],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+            for dw in range(3):
+                a = wins[dw][dt, dh:dh + hb].reshape(hb * Wp, C)
+                res = res + jax.lax.dot_general(
+                    a, w_ref[dt * 9 + dh * 3 + dw],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
 
     scale = xs_ref[t] * ws_ref[0, :]                       # (cob,)
     out = res.astype(jnp.float32) * scale[None, :]
@@ -97,20 +113,32 @@ def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
     assert w.shape == (27, C, Co)
     assert Wp % _SUBLANE == 0, "caller must pad W to the int8 sublane tile"
     assert x_scales.shape == (T,) and w_scales.shape == (Co,)
+    if not interpret and jax.default_backend() != "tpu":
+        # numerics-faithful emulation for CPU runs/tests: conv over the
+        # SAME quantized operands, dequantized in the epilogue
+        y = jax.lax.conv_general_dilated(
+            x_ext[None].astype(jnp.float32),
+            w.reshape(3, 3, 3, C, Co).astype(jnp.float32),
+            (1, 1, 1), [(0, 0), (0, 0), (0, 0)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
+        y = y * x_scales[:, None, None, None] * w_scales[None, None, None, :]
+        return y.astype(jnp.bfloat16)
     while H % hb:
         hb //= 2
     hb = max(hb, 1)
-    # the 3 stored windows (raw + 2 dw-rotations) dominate VMEM; keep them
-    # under ~5 MB so roll temps + double-buffered w/out blocks + acc fit
+    # 4 window-sized buffers (2 DMA slots + 2 rotations) dominate VMEM;
+    # keep them under ~6 MB so double-buffered w/out blocks + acc fit
     # the 16 MB scoped budget
-    while hb > 1 and 3 * 3 * (hb + 2) * Wp * C > 5_000_000:
+    while hb > 1 and 4 * 3 * (hb + 2) * Wp * C > 6_000_000:
         hb //= 2
         while H % hb:
             hb //= 2
     while Co % cob:
         cob //= 2
 
-    kernel = functools.partial(_conv_kernel, hb=hb, W=W, Wp=Wp, C=C, cob=cob)
+    kernel = functools.partial(_conv_kernel, hb=hb, W=W, Wp=Wp, C=C,
+                               cob=cob, n_h=H // hb,
+                               n_steps=T * (H // hb))
     grid = (T, H // hb, Co // cob)
     out = pl.pallas_call(
         kernel,
@@ -119,8 +147,7 @@ def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
-                pl.BlockSpec((9, 3 * C, cob),
-                             lambda t, h, co, xs: (0, 0, co),
+                pl.BlockSpec((27, C, cob), lambda t, h, co, xs: (0, 0, co),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cob), lambda t, h, co, xs: (0, co),
                              memory_space=pltpu.VMEM),
@@ -129,9 +156,10 @@ def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
                                    lambda t, h, co, xs: (t, h, 0, co)),
             scratch_shapes=[
                 pltpu.VMEM((hb * Wp, cob), jnp.int32),
+                pltpu.VMEM((2, 3, hb + 2, Wp, C), jnp.int8),
                 pltpu.VMEM((3, hb + 2, Wp, C), jnp.int8),
-                pltpu.VMEM((3, hb + 2, Wp, 3 * C), jnp.int8),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((3, hb + 2, Wp, C), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((T, H, W, Co), jnp.bfloat16),
@@ -144,8 +172,18 @@ def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_scales, x_ext, w.reshape(9, 3 * C, Co), w_scales.reshape(1, Co))
+    )(x_scales, x_ext, w, w_scales.reshape(1, Co))
     return out
+
+
+def int8_conv_viable(ci: int, co: int, w: int) -> bool:
+    """Whether the kernel's VMEM budget closes for this conv shape: channel
+    dims lane-tileable, and the 4 window buffers fit at hb=1 with room for
+    the double-buffered weight blocks + accumulator."""
+    if ci % 128 or co % 128:
+        return False
+    wp = _round_up(w + 2, _SUBLANE)
+    return 4 * 3 * 3 * wp * ci <= 7_000_000
 
 
 def quantize_conv_weight(w: jnp.ndarray):

@@ -111,6 +111,14 @@ def parse_arguments():
                            "in their native affine layout (no requant "
                            "error); w8a8 = int8 weights AND per-token int8 "
                            "activations on the int8 MXU")
+    perf.add_argument("--vae_quant", type=str, default="none",
+                      choices=["none", "int8"],
+                      help="EXPERIMENTAL. int8: VAE decoder 3x3x3 convs "
+                           "run on the int8 MXU (shifted-matmul kernel). "
+                           "Currently SLOWER end-to-end than bf16 (the "
+                           "per-conv quantize passes outweigh the MXU "
+                           "gain; docs/performance.md) - kept for kernel "
+                           "development and accuracy evaluation")
     perf.add_argument("--compile_dit", action="store_true",
                       help="no-op (always jit-compiled)")
     perf.add_argument("--compile_vae", action="store_true",
@@ -199,6 +207,7 @@ def _configure(args, debug):
         decode_tile_overlap=(args.vae_decode_tile_overlap,) * 2,
         attention_mode=args.attention_mode,
         quant=args.quant,
+        vae_quant=args.vae_quant,
         tile_mode=args.tile_mode,
     )
 

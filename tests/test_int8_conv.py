@@ -59,6 +59,33 @@ def test_int8_causal_conv3d_accuracy():
     assert rel < 0.03, f"int8 conv rel error {rel}"
 
 
+def test_vae_decode_conv_quant_int8():
+    """conv_quant='int8' (the --vae_quant serving mode) decode must stay
+    close to the bf16 decode — same tile layout, quantized resnet convs
+    (CPU emulation path computes the same quantized numerics)."""
+    from dataclasses import replace
+
+    from seedvr2_tpu.core.configs import VAEConfig
+    from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE, init_vae_params
+
+    # 128-channel blocks: the int8 path requires lane-tileable channel dims
+    cfg = VAEConfig(block_out_channels=(128, 128, 128, 128),
+                    layers_per_block=1, latent_channels=4,
+                    norm_num_groups=32)
+    params = init_vae_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 6, 4)), jnp.float32)
+
+    ref = np.asarray(VideoVAE(params, cfg, dtype=jnp.float32).decode(z),
+                     np.float32)
+    q = np.asarray(VideoVAE(params, replace(cfg, conv_quant="int8"),
+                            dtype=jnp.float32).decode(z), np.float32)
+    assert q.shape == ref.shape
+    rel = np.abs(q - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.15, f"int8 VAE decode rel error {rel}"
+    assert np.isfinite(q).all()
+
+
 def test_quantize_conv_weight_roundtrip():
     rng = np.random.default_rng(2)
     w = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)), jnp.float32)
