@@ -1,30 +1,43 @@
 """Benchmark: SeedVR2-3B END-TO-END upscale throughput, 720p->4K, one chip.
 
-Measures the full compute chain of the pipeline on real hardware (VERDICT r1
-item 3 — the north-star metric is end-to-end frames/s/chip, and the VAE at
-4K dominates wall time, reference README.md:940):
+Measures the full compute chain of the pipeline on real hardware (the
+north-star metric is end-to-end frames/s/chip; the VAE at 4K dominates
+wall time, reference README.md:940):
 
   encode : VAE encode of the 4K-resized input (5 frames, uniform tile grid)
   dit    : one-step 3B NaDiT denoise at 4K latent (2x270x480, bf16,
            windowed Pallas flash attention)
   decode : tiled VAE decode to 4K (uniform tile grid)
+plus optional lanes (budget permitting):
+  dit_w8a8 : the int8 serving mode (--quant w8a8)
+  dit_7b_q8: the 7B denoiser in q8 serving mode (BASELINE names 3B AND 7B)
 
-Weights are random (zero-egress env); shapes/arithmetic are exactly the real
-model's. Inputs live in HBM, are re-randomized every iteration (the axon dev
-client memoizes repeated executions), and each iteration ends with a 4-byte
-scalar fetch — the only reliable execution barrier through the dev tunnel.
+Weights are random (zero-egress env); shapes/arithmetic are exactly the
+real model's. Inputs are re-randomized every iteration (the axon dev
+client memoizes repeated executions) and every iteration ends with a
+4-byte scalar fetch — the only reliable execution barrier through the
+dev tunnel (block_until_ready can return before the remote finishes).
 
-Each phase runs in its OWN subprocess. This mirrors the product's per-phase
-HBM residency policy (3B bf16 = 6.6 GB > 30% of HBM, so the pipeline drops
-the DiT from HBM during the VAE phases — core/model_manager
-._PHASE_OFFLOAD_FRACTION; on a real TPU VM the phase transition re-uploads
-6.6 GB over PCIe in <1 s, amortized once per chunk) and sidesteps the axon
-dev tunnel's deferred buffer reclamation, which otherwise poisons any
-multi-phase single-process measurement.
+TIME-BUDGET DESIGN (the round-2 bench timed out and yielded nothing):
+ - ONE process. The axon dev tunnel serializes client sessions and takes
+   0.5-10 min to reap a dead one, so every extra subprocess risks paying
+   a multi-minute session-acquisition stall (measured: a trivial
+   first-fetch blocked 25 s / 180 s / 549 s depending on how the previous
+   process exited). All phases run in-process; between phases every live
+   jax.Array is explicitly deleted — .delete() verifiably frees
+   server-side HBM (12 GB allocated after freeing 10 GB on a 16 GB chip),
+   unlike garbage collection, whose free RPCs the dev client defers.
+ - A cumulative JSON result line is printed after EVERY phase, so the
+   last stdout line is always parseable even if the driver's timeout
+   lands mid-phase ("partial": true until encode+dit+decode are all in).
+ - BENCH_BUDGET_S (default 1500 s) degrades the plan: iterations drop to
+   1 and the optional lanes are skipped when the remaining budget is thin.
+ - The persistent XLA compile cache is enabled; repeat runs skip client
+   compiles.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
-vs_baseline compares against an ANALYTICAL A100 end-to-end estimate (the
-reference publishes no absolute numbers — BASELINE.md):
+Prints ONE final JSON line {"metric", "value", "unit", "vs_baseline",
+...extras}. vs_baseline compares against an ANALYTICAL A100 end-to-end
+estimate (the reference publishes no absolute numbers — BASELINE.md):
   A100 312 bf16 TFLOP/s at 40% MFU = 125 TF/s effective, on
   encode ~396 TF (4K, 5 frames) + DiT ~350 TF + decode ~1023 TF exact
   coverage x1.71 stride-sweep tile waste (reference tiling) = 1749 TF
@@ -33,9 +46,9 @@ The DiT-only number and its A100 baseline (1.5 f/s, same method) are kept
 as extra fields for continuity with BENCH_r01.
 """
 
+import gc
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -43,23 +56,34 @@ import _bootstrap  # noqa: F401
 
 A100_E2E_BASELINE_FPS = 0.25   # analytical, see module docstring
 A100_DIT_BASELINE_FPS = 1.5    # analytical (BENCH_r01 continuity)
+A100_DIT_7B_BASELINE_FPS = 0.75  # analytical: 7B ~2x the 3B step FLOPs
 FRAMES = 5
+
+_T0 = time.perf_counter()
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _budget():
+    return float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def _note(msg):
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    print(f"[bench] {msg} (t={_elapsed():.0f}s)", file=sys.stderr, flush=True)
 
 
 def _shapes(on_tpu: bool):
     if on_tpu:
-        from seedvr2_tpu.core.configs import DIT_3B, VAE_V3
+        from seedvr2_tpu.core.configs import DIT_3B, DIT_7B, VAE_V3
 
-        return dict(dit_cfg=DIT_3B, vae_cfg=VAE_V3,
+        return dict(dit_cfg=DIT_3B, dit7b_cfg=DIT_7B, vae_cfg=VAE_V3,
                     in_h=2160, in_w=3840, lt=2, lh=270, lw=480, txt_len=58,
-                    iters=3, enc_tile=(1024, 1024), dec_tile=(1088, 1088))
+                    iters=2, enc_tile=(1024, 1024), dec_tile=(1088, 1088))
     from seedvr2_tpu.core.configs import VAEConfig, small_test_config
 
-    return dict(dit_cfg=small_test_config(),
+    return dict(dit_cfg=small_test_config(), dit7b_cfg=small_test_config(),
                 vae_cfg=VAEConfig(block_out_channels=(8, 8, 16, 16),
                                   layers_per_block=1, latent_channels=16,
                                   norm_num_groups=4),
@@ -84,7 +108,49 @@ def _timed(fn, iters):
     return (time.perf_counter() - start) / iters
 
 
-def phase_encode():
+def _delete_tree(*trees):
+    """Explicitly free the device buffers of param trees. GC-driven frees
+    are deferred by the axon dev client (which is what produced the
+    spurious RESOURCE_EXHAUSTED in round-2 multi-phase single-process
+    runs); Array.delete() verifiably releases server-side HBM."""
+    import jax
+
+    n = 0
+    for tree in trees:
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                    n += 1
+                except Exception:  # noqa: BLE001 (donated/already deleted)
+                    pass
+    return n
+
+
+def _sweep():
+    """Free anything the phases missed: gc, then delete every still-live
+    device array (phases share nothing across the sweep)."""
+    import jax
+
+    gc.collect()
+    n = 0
+    for a in jax.live_arrays():
+        try:
+            a.delete()
+            n += 1
+        except Exception:  # noqa: BLE001  (already donated/deleted)
+            pass
+    _note(f"swept {n} device buffers")
+
+
+def _iters(p):
+    """Iteration count under the remaining budget."""
+    if _elapsed() > 0.6 * _budget():
+        return 1
+    return p["iters"]
+
+
+def phase_encode(p):
     import jax
     import jax.numpy as jnp
 
@@ -92,7 +158,6 @@ def phase_encode():
     from seedvr2_tpu.core.runner import VideoDiffusionRunner
     from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE, init_vae_params
 
-    p = _shapes(jax.default_backend() == "tpu")
     key = jax.random.PRNGKey(0)
     vae = VideoVAE(init_vae_params(jax.random.fold_in(key, 9), p["vae_cfg"],
                                    dtype=jnp.bfloat16), p["vae_cfg"])
@@ -108,10 +173,43 @@ def phase_encode():
             (FRAMES, p["in_h"], p["in_w"], 3), jnp.bfloat16, -1.0, 1.0)
         _force(runner.vae_encode([video])[0])
 
-    return _timed(run, p["iters"])
+    try:
+        return _timed(run, _iters(p))
+    finally:
+        _delete_tree(vae.params)
 
 
-def phase_dit():
+def _init_quantized_by_block(key, cfg, quantize):
+    """Random-init a quantized DiT tree one block at a time, so the full
+    bf16 tree never exists on device (7B bf16 = 16.5 GB > HBM; the q8
+    tree is ~8 GB). Valid for structurally-uniform block stacks (7B:
+    block_shared/block_vid_only are layer-independent)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from seedvr2_tpu.models.dit.nadit import init_dit_params
+
+    cfg1 = dataclasses.replace(cfg, num_layers=1)
+    params = quantize(init_dit_params(key, cfg1, dtype=jnp.bfloat16))
+    blocks = params["blocks"]
+    for i in range(1, cfg.num_layers):
+        raw = init_dit_params(jax.random.fold_in(key, i), cfg1,
+                              dtype=jnp.bfloat16)
+        qblk = quantize({"blocks": raw["blocks"]})["blocks"][0]
+        # free the bf16 originals (quantization passes small leaves
+        # through unchanged — keep anything qblk still references)
+        keep = {id(leaf) for leaf in jax.tree.leaves(qblk)}
+        for leaf in jax.tree.leaves(raw):
+            if id(leaf) not in keep and hasattr(leaf, "delete"):
+                leaf.delete()
+        blocks.append(qblk)
+    params["blocks"] = blocks
+    return params
+
+
+def _dit_phase(p, cfg, quant):
     import jax
     import jax.numpy as jnp
 
@@ -119,19 +217,18 @@ def phase_dit():
     from seedvr2_tpu.core.runner import VideoDiffusionRunner
     from seedvr2_tpu.models.dit.nadit import init_dit_params
 
-    p = _shapes(jax.default_backend() == "tpu")
-    cfg = p["dit_cfg"]
     key = jax.random.PRNGKey(0)
-    params = init_dit_params(key, cfg, dtype=jnp.bfloat16)
-    quant = os.environ.get("BENCH_QUANT", "none")
     if quant == "w8a8":
         from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
 
-        params = quantize_dit_params_w8a8(params)
+        params = quantize_dit_params_w8a8(
+            init_dit_params(key, cfg, dtype=jnp.bfloat16))
     elif quant == "q8":
         from seedvr2_tpu.ops.quant_matmul import quantize_dit_params
 
-        params = quantize_dit_params(params)
+        params = _init_quantized_by_block(key, cfg, quantize_dit_params)
+    else:
+        params = init_dit_params(key, cfg, dtype=jnp.bfloat16)
     runner = VideoDiffusionRunner(params, cfg, vae=None,
                                   config=RunnerConfig(dit=cfg))
     txt = jax.random.normal(jax.random.fold_in(key, 3),
@@ -148,10 +245,25 @@ def phase_dit():
             noises=[noise], conditions=[cond], texts_pos=[txt],
             texts_neg=[txt], cfg_scale=1.0, steps=1)[0])
 
-    return _timed(run, p["iters"])
+    try:
+        return _timed(run, _iters(p))
+    finally:
+        _delete_tree(params, txt)
 
 
-def phase_decode():
+def phase_dit(p):
+    return _dit_phase(p, p["dit_cfg"], "none")
+
+
+def phase_dit_w8a8(p):
+    return _dit_phase(p, p["dit_cfg"], "w8a8")
+
+
+def phase_dit_7b_q8(p):
+    return _dit_phase(p, p["dit7b_cfg"], "q8")
+
+
+def phase_decode(p):
     import jax
     import jax.numpy as jnp
 
@@ -159,7 +271,6 @@ def phase_decode():
     from seedvr2_tpu.core.runner import VideoDiffusionRunner
     from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE, init_vae_params
 
-    p = _shapes(jax.default_backend() == "tpu")
     key = jax.random.PRNGKey(0)
     vae = VideoVAE(init_vae_params(jax.random.fold_in(key, 9), p["vae_cfg"],
                                    dtype=jnp.bfloat16), p["vae_cfg"])
@@ -176,65 +287,95 @@ def phase_decode():
                                 jnp.bfloat16)
         _force(runner.vae_decode([lat])[0])
 
-    return _timed(run, p["iters"])
+    try:
+        return _timed(run, _iters(p))
+    finally:
+        _delete_tree(vae.params)
 
 
-PHASES = {"encode": phase_encode, "dit": phase_dit, "decode": phase_decode}
+CORE = ("encode", "dit", "decode")
+PHASES = {"encode": phase_encode, "dit": phase_dit, "decode": phase_decode,
+          "dit_w8a8": phase_dit_w8a8, "dit_7b_q8": phase_dit_7b_q8}
+# rough per-phase wall cost (compile + session already warm) used only to
+# decide whether an OPTIONAL lane still fits the budget
+_EST_PHASE_S = 240.0
+
+
+def _emit(times):
+    """Print the cumulative result line for the phases measured so far."""
+    have = [ph for ph in CORE if ph in times]
+    total = sum(times[ph] for ph in have)
+    partial = len(have) < len(CORE)
+    out = {
+        "metric": "3B end-to-end upscale 720p->4K frames/sec/chip "
+                  "(VAE encode + 1-step DiT + tiled VAE decode)",
+        "value": round(FRAMES / total, 4) if total else 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": (round(FRAMES / total / A100_E2E_BASELINE_FPS, 3)
+                        if total and not partial else None),
+        "partial": partial,
+        "phases_measured": sorted(times),
+    }
+    for ph in CORE:
+        if ph in times:
+            out[f"{ph}_s"] = round(times[ph], 3)
+    if "dit" in times:
+        fps = FRAMES / times["dit"]
+        out["dit_frames_per_s"] = round(fps, 4)
+        out["dit_vs_baseline"] = round(fps / A100_DIT_BASELINE_FPS, 3)
+    if "dit_w8a8" in times:
+        fps = FRAMES / times["dit_w8a8"]
+        out["dit_w8a8_s"] = round(times["dit_w8a8"], 3)
+        out["dit_w8a8_frames_per_s"] = round(fps, 4)
+        out["dit_w8a8_vs_baseline"] = round(fps / A100_DIT_BASELINE_FPS, 3)
+        if not partial:
+            e2e = FRAMES / (times["encode"] + times["dit_w8a8"]
+                            + times["decode"])
+            out["e2e_w8a8_frames_per_s"] = round(e2e, 4)
+    if "dit_7b_q8" in times:
+        fps = FRAMES / times["dit_7b_q8"]
+        out["dit_7b_q8_s"] = round(times["dit_7b_q8"], 3)
+        out["dit_7b_q8_frames_per_s"] = round(fps, 4)
+        out["dit_7b_q8_vs_baseline"] = round(
+            fps / A100_DIT_7B_BASELINE_FPS, 3)
+    print(json.dumps(out), flush=True)
+    return out
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] in PHASES:
-        from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
+    from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
 
-        enable_persistent_cache()
-        t = PHASES[sys.argv[1]]()
-        print(json.dumps({"phase": sys.argv[1], "seconds": t}))
+    enable_persistent_cache()
+    import jax
+
+    p = _shapes(jax.default_backend() == "tpu")
+
+    if len(sys.argv) > 1 and sys.argv[1] in PHASES:
+        t = PHASES[sys.argv[1]](p)
+        print(json.dumps({"phase": sys.argv[1], "seconds": t}), flush=True)
         return
 
-    def run_phase(phase, env_extra=None):
-        _note(f"phase {phase}{' ' + str(env_extra) if env_extra else ''}: "
-              "launching")
-        env = dict(os.environ, **(env_extra or {}))
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), phase],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, env=env)
-        if res.returncode != 0:
-            _note(f"phase {phase} FAILED:\n{res.stderr[-2000:]}")
-            raise SystemExit(1)
-        line = [ln for ln in res.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        t = json.loads(line)["seconds"]
-        _note(f"phase {phase}: {t:.3f} s")
-        return t
+    times = {}
+    for ph in CORE:
+        _note(f"phase {ph}: starting")
+        times[ph] = PHASES[ph](p)
+        _note(f"phase {ph}: {times[ph]:.3f} s/iter")
+        _sweep()
+        _emit(times)
 
-    times = {phase: run_phase(phase) for phase in ("encode", "dit",
-                                                   "decode")}
-    # the int8 serving lane (--quant w8a8), reported alongside the bf16
-    # default
-    t_w8a8 = run_phase("dit", {"BENCH_QUANT": "w8a8"})
-
-    total = sum(times.values())
-    e2e_fps = FRAMES / total
-    dit_fps = FRAMES / times["dit"]
-    w8a8_fps = FRAMES / t_w8a8
-    e2e_w8a8_fps = FRAMES / (times["encode"] + t_w8a8 + times["decode"])
-    print(json.dumps({
-        "metric": "3B end-to-end upscale 720p->4K frames/sec/chip "
-                  "(VAE encode + 1-step DiT + tiled VAE decode)",
-        "value": round(e2e_fps, 4),
-        "unit": "frames/sec",
-        "vs_baseline": round(e2e_fps / A100_E2E_BASELINE_FPS, 3),
-        "encode_s": round(times["encode"], 3),
-        "dit_s": round(times["dit"], 3),
-        "decode_s": round(times["decode"], 3),
-        "dit_frames_per_s": round(dit_fps, 4),
-        "dit_vs_baseline": round(dit_fps / A100_DIT_BASELINE_FPS, 3),
-        "dit_w8a8_s": round(t_w8a8, 3),
-        "dit_w8a8_frames_per_s": round(w8a8_fps, 4),
-        "dit_w8a8_vs_baseline": round(w8a8_fps / A100_DIT_BASELINE_FPS, 3),
-        "e2e_w8a8_frames_per_s": round(e2e_w8a8_fps, 4),
-    }))
+    for lane in ("dit_w8a8", "dit_7b_q8"):
+        if _elapsed() + _EST_PHASE_S > _budget():
+            _note(f"lane {lane}: skipped (budget: {_elapsed():.0f}s of "
+                  f"{_budget():.0f}s spent)")
+            continue
+        _note(f"lane {lane}: starting")
+        try:
+            times[lane] = PHASES[lane](p)
+            _note(f"lane {lane}: {times[lane]:.3f} s/iter")
+        except Exception as exc:  # noqa: BLE001 — lanes must not kill the run
+            _note(f"lane {lane} FAILED: {exc!r}")
+        _sweep()
+        _emit(times)
 
 
 if __name__ == "__main__":

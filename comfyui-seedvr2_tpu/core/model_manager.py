@@ -145,8 +145,20 @@ def _tree_bytes(tree) -> int:
     return sum(x.nbytes for x in jax.tree.leaves(tree))
 
 
-# v5e-class per-chip HBM when the backend doesn't report a limit (the axon
-# tunnel's memory_stats() is empty; real TPU VMs report bytes_limit).
+# Per-chip HBM by device kind, used when the backend doesn't report a
+# limit (the axon tunnel's memory_stats() is empty; real TPU VMs report
+# bytes_limit). Matched case-insensitively against jax Device.device_kind.
+_HBM_BY_DEVICE_KIND = (
+    ("v5 lite", 15_500_000_000),   # v5e: 16 GB
+    ("v5e", 15_500_000_000),
+    ("v6 lite", 31_000_000_000),   # v6e (Trillium): 32 GB
+    ("v6e", 31_000_000_000),
+    ("v5p", 93_000_000_000),       # v5p: 95 GB
+    ("v4", 31_000_000_000),        # v4: 32 GB
+    ("v3", 31_000_000_000),        # v3: 32 GB
+    ("v2", 15_000_000_000),        # v2: 16 GB
+)
+# conservative fallback when the kind is unrecognized too
 _DEFAULT_HBM_BYTES = 15_500_000_000
 # fraction of HBM the resident DiT weights may claim before host streaming
 # auto-engages (the rest is activations, VAE weights, and XLA scratch)
@@ -170,6 +182,18 @@ def _hbm_bytes_limit() -> Optional[int]:
         stats = {}
     if stats.get("bytes_limit"):
         return int(stats["bytes_limit"])
+    kind = (getattr(dev, "device_kind", "") or "").lower()
+    for tag, nbytes in _HBM_BY_DEVICE_KIND:
+        if tag in kind:
+            return nbytes
+    import warnings
+
+    warnings.warn(
+        f"memory_stats() reports no bytes_limit and device_kind "
+        f"{kind!r} is unrecognized; assuming "
+        f"{_DEFAULT_HBM_BYTES / 1e9:.1f} GB HBM for offload planning "
+        "(set block_swap_config explicitly if this misclassifies "
+        "your chip)", stacklevel=2)
     return _DEFAULT_HBM_BYTES
 
 
@@ -300,7 +324,11 @@ def configure_runner(
                 # absorbs multi-GB upload time)
                 jax.block_until_ready(dit_params)
 
-    vae = cache.get_vae(vae_path) if vae_cache else None
+    # conv_quant and compute_dtype are baked into the constructed VideoVAE,
+    # so the cache key must cover them — keying on path alone would hand a
+    # runner that asked for bf16 a stale int8 VAE (or vice versa)
+    vae_key = f"{vae_path}|{vae_quant}|{compute_dtype}"
+    vae = cache.get_vae(vae_key) if vae_cache else None
     if vae is None:
         with debug.timer("load_vae", "VAE weights load"):
             vae_params, vae_cfg = load_vae_checkpoint(vae_path, compute_dtype)
@@ -311,7 +339,7 @@ def configure_runner(
             vae_cfg = _replace(vae_cfg, conv_quant=vae_quant)
         vae = VideoVAE(vae_params, vae_cfg, dtype=compute_dtype)
         if vae_cache:
-            cache.set_vae(vae_path, vae)
+            cache.set_vae(vae_key, vae)
 
     runner = VideoDiffusionRunner(
         dit_params, dit_cfg, vae, RunnerConfig(dit=dit_cfg, vae=vae.cfg),

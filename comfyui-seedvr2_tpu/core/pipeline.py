@@ -239,10 +239,15 @@ def upscale_all_batches(
     seed: int = 42,
     latent_noise_scale: float = 0.0,
     cache_model: bool = False,
+    noise_override: Optional[list] = None,
 ) -> Dict[str, Any]:
     """Phase 2: one-step DiT upscaling (generation_phases.py:538-799).
 
-    cfg scale is forced to 1.0 and steps to 1 for the distilled model."""
+    cfg scale is forced to 1.0 and steps to 1 for the distilled model.
+    noise_override: optional per-batch noise arrays replacing the seeded
+    jax.random draw — used by the whole-pipeline oracle test to feed the
+    reference pipeline's torch RNG noise so outputs are comparable (the
+    two RNG disciplines differ by design)."""
     debug.start_timer("phase2_upscaling")
     if ctx.get("text_embeds") is None:
         from ..utils.text_embeds import load_text_embeddings
@@ -257,7 +262,10 @@ def upscale_all_batches(
         # identical RNG per batch: same seed -> same noise (phase2 :659)
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
-        base_noise = jax.random.normal(k1, latent.shape, jnp.float32)
+        if noise_override is not None:
+            base_noise = jnp.asarray(noise_override[bi], jnp.float32)
+        else:
+            base_noise = jax.random.normal(k1, latent.shape, jnp.float32)
         if latent_noise_scale > 0:
             aug = base_noise * 0.1 + jax.random.normal(
                 k2, latent.shape, jnp.float32) * 0.05

@@ -147,7 +147,7 @@ def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
     p = _get(params, conv_path)
     from ...ops.int8_conv import int8_causal_conv3d, int8_conv_viable
 
-    if conv_quant == "int8" and state is None and x.shape[0] == 1 \
+    if conv_quant == "int8" and x.shape[0] == 1 \
             and int8_conv_viable(p["w"].shape[-2], p["w"].shape[-1],
                                  x.shape[3]):
         # non-viable shapes stay bf16: conv_out's Co=3 (output-critical RGB
@@ -156,17 +156,24 @@ def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
 
         h = frame_group_norm(params, norm_path, x, num_groups)
         h = silu(h)
+        # ACTIVE slices (state carried from the previous slice) stay int8
+        # too: the carried bf16 tail is quantized together with this
+        # slice's input so numerics are uniform across the temporal seam
+        head = state.get(conv_path) if state is not None else None
         cache = p["w"].shape[0] - 1  # kt - stride
         if new_state is not None and cache > 0:
-            # tail of the EXTENDED input (head = repeated first frame),
-            # matching causal_conv3d's state contract for any T
+            # tail of the EXTENDED input, matching causal_conv3d's state
+            # contract for any T
             t_len = h.shape[1]
             if t_len >= cache:
                 new_state[conv_path] = h[:, -cache:]
+            elif head is not None:
+                new_state[conv_path] = jnp.concatenate(
+                    [head.astype(h.dtype), h], axis=1)[:, -cache:]
             else:
                 new_state[conv_path] = jnp.concatenate(
                     [jnp.repeat(h[:, :1], cache - t_len, axis=1), h], axis=1)
-        return int8_causal_conv3d(h, p["w"], p.get("b"))
+        return int8_causal_conv3d(h, p["w"], p.get("b"), head=head)
     if state is None and _fused_norm_ok():
         from ...ops.fused_norm import norm_silu_head
 

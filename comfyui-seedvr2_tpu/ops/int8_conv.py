@@ -200,22 +200,27 @@ def quantize_conv_weight(w: jnp.ndarray):
 
 def int8_causal_conv3d(x: jnp.ndarray, w: jnp.ndarray, bias,
                        hb: int = 8, cob: int = 128,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       head: jnp.ndarray = None) -> jnp.ndarray:
     """Drop-in int8 path for a full causal (3,3,3)/stride-1 conv on one
     batch element: x (1, T, H, W, Ci) bf16 (NOT yet extended), w
-    (3, 3, 3, Ci, Co). Handles the INITIALIZING head (repeat frame 0),
-    spatial zero-pad (W padded to the int8 sublane tile), bias, and a
-    per-tensor activation scale."""
+    (3, 3, 3, Ci, Co). Handles the causal head — `head` (1, 2, H, W, Ci)
+    is the previous slice's carried tail (ACTIVE state); None repeats
+    frame 0 (INITIALIZING) — plus spatial zero-pad (W padded to the int8
+    sublane tile), bias, and a per-tensor activation scale covering the
+    extended input."""
     assert x.shape[0] == 1
     T, H, W = x.shape[1], x.shape[2], x.shape[3]
     x32 = x[0].astype(jnp.float32)
+    if head is not None:
+        x32 = jnp.concatenate([head[0].astype(jnp.float32), x32], axis=0)
     absmax = jnp.max(jnp.abs(x32))
     inv = jnp.where(absmax > 0, 127.0 / absmax, 0.0)
     xq = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
-    head = jnp.repeat(xq[:1], 2, axis=0)
+    if head is None:
+        xq = jnp.concatenate([jnp.repeat(xq[:1], 2, axis=0), xq], axis=0)
     wp = _round_up(W + 2, _SUBLANE)
-    x_ext = jnp.pad(jnp.concatenate([head, xq], axis=0),
-                    ((0, 0), (1, 1), (1, wp - W - 1), (0, 0)))
+    x_ext = jnp.pad(xq, ((0, 0), (1, 1), (1, wp - W - 1), (0, 0)))
     gscale = jnp.where(absmax > 0, absmax / 127.0, 0.0)
     wq, ws = quantize_conv_weight(w)
     out = int8_conv3d(x_ext, wq, jnp.broadcast_to(gscale, (T,)), ws,

@@ -270,6 +270,9 @@ def process_video(args, debug):
     held = None           # last `overlap` OUTPUT frames, not yet written
     prev_in_tail = None   # last `overlap` INPUT frames, re-fed to next chunk
     total_written = 0
+    # --parity_check needs the assembled output; only retain it when asked
+    # (streaming normally never holds the full video in RAM)
+    parity_frames = [] if args.parity_check else None
     t_start = time.perf_counter()
 
     first_chunk = True
@@ -304,6 +307,8 @@ def process_video(args, debug):
                     png_index += 1
             else:
                 writer.write_frames(frames_out)
+            if parity_frames is not None:
+                parity_frames.append(np.asarray(frames_out))
             total_written += frames_out.shape[0]
 
         if overlap > 0 and reader.remaining > 0 and result.shape[0] > overlap:
@@ -324,6 +329,8 @@ def process_video(args, debug):
     debug.log(f"Wrote {total_written} frames to {out_path} "
               f"({fps:.2f} frames/s end-to-end)", category="generation",
               force=True)
+    if parity_frames:
+        _parity_report(args, np.concatenate(parity_frames, axis=0))
     return out_path
 
 

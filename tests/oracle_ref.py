@@ -360,6 +360,11 @@ def _install_omegaconf_stub():
             except KeyError as e:
                 raise AttributeError(k) from e
 
+        def __setattr__(self, k, v):
+            # omegaconf semantics: attribute writes land in the mapping
+            # (generation_phases.py sets runner.config.diffusion.cfg.scale)
+            self[k] = v
+
     class ListConfig(list):
         pass
 
@@ -368,6 +373,10 @@ def _install_omegaconf_stub():
         def create(obj=None):
             return DictConfig(obj or {})
 
+        @staticmethod
+        def register_new_resolver(name, fn, **kw):
+            pass  # ${eval:...} resolution is unused in the test configs
+
     mod.DictConfig = DictConfig
     mod.ListConfig = ListConfig
     mod.OmegaConf = OmegaConf
@@ -375,7 +384,9 @@ def _install_omegaconf_stub():
 
 
 def _install_torchvision_stub():
-    """color_fix imports ToTensor/ToPILImage (unused in the tensor paths)."""
+    """color_fix imports ToTensor/ToPILImage (unused in the tensor paths);
+    generation_utils builds its video transform chain from Compose/Lambda/
+    Normalize — those three are real functional equivalents."""
     if "torchvision" in sys.modules:
         return
     tv = types.ModuleType("torchvision")
@@ -385,11 +396,122 @@ def _install_torchvision_stub():
         def __call__(self, *a, **k):
             raise NotImplementedError
 
+    class Compose:
+        def __init__(self, fns):
+            self.fns = list(fns)
+
+        def __call__(self, x):
+            for fn in self.fns:
+                x = fn(x)
+            return x
+
+    class Lambda:
+        def __init__(self, fn):
+            self.fn = fn
+
+        def __call__(self, x):
+            return self.fn(x)
+
+    class Normalize:
+        """torchvision semantics on (..., C, H, W): per-channel
+        (x - mean) / std."""
+
+        def __init__(self, mean, std, inplace=False):
+            self.mean = mean if isinstance(mean, (list, tuple)) else [mean]
+            self.std = std if isinstance(std, (list, tuple)) else [std]
+
+        def __call__(self, x):
+            mean = torch.as_tensor(self.mean, dtype=x.dtype,
+                                   device=x.device)
+            std = torch.as_tensor(self.std, dtype=x.dtype, device=x.device)
+            if mean.numel() == 1:
+                return (x - mean) / std
+            view = (-1,) + (1,) * 2
+            return (x - mean.view(view)) / std.view(view)
+
+    import enum
+
+    import torch.nn.functional as F
+
+    class InterpolationMode(str, enum.Enum):
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+        BICUBIC = "bicubic"
+        LANCZOS = "lanczos"
+
+    functional = types.ModuleType("torchvision.transforms.functional")
+
+    def _resize(img, size, interpolation=InterpolationMode.BILINEAR,
+                max_size=None, antialias=True):
+        """Tensor-backend torchvision resize semantics: int size = short
+        side, long side = int(size * long / short) (truncating, matching
+        torchvision._compute_resized_output_size)."""
+        h, w = img.shape[-2:]
+        if isinstance(size, int):
+            short, long = (h, w) if h <= w else (w, h)
+            new_long = int(size * long / short)
+            nh, nw = (size, new_long) if h <= w else (new_long, size)
+        else:
+            nh, nw = size
+        if (nh, nw) == (h, w):
+            return img
+        mode = str(interpolation.value if hasattr(interpolation, "value")
+                   else interpolation)
+        x4 = img[None] if img.dim() == 3 else img
+        aa = bool(antialias) and mode in ("bilinear", "bicubic")
+        out = F.interpolate(
+            x4.float(), size=(nh, nw), mode=mode, antialias=aa,
+            align_corners=False if mode in ("bilinear", "bicubic") else None)
+        out = out.to(img.dtype)
+        return out[0] if img.dim() == 3 else out
+
+    def _crop(img, top, left, height, width):
+        return img[..., top:top + height, left:left + width]
+
+    def _center_crop(img, output_size):
+        if isinstance(output_size, int):
+            output_size = (output_size, output_size)
+        ch, cw = output_size
+        h, w = img.shape[-2:]
+        top = int(round((h - ch) / 2.0))
+        left = int(round((w - cw) / 2.0))
+        return _crop(img, top, left, ch, cw)
+
+    functional.resize = _resize
+    functional.crop = _crop
+    functional.center_crop = _center_crop
+    functional.InterpolationMode = InterpolationMode
+
+    class Resize:
+        def __init__(self, size, interpolation=InterpolationMode.BILINEAR,
+                     max_size=None, antialias=True):
+            self.size, self.interpolation = size, interpolation
+            self.antialias = antialias
+
+        def __call__(self, img):
+            return _resize(img, self.size, self.interpolation,
+                           antialias=self.antialias)
+
+    class CenterCrop:
+        def __init__(self, size):
+            self.size = size
+
+        def __call__(self, img):
+            return _center_crop(img, self.size)
+
     transforms.ToTensor = _Unused
     transforms.ToPILImage = _Unused
+    transforms.Compose = Compose
+    transforms.Lambda = Lambda
+    transforms.Normalize = Normalize
+    transforms.Resize = Resize
+    transforms.CenterCrop = CenterCrop
+    transforms.InterpolationMode = InterpolationMode
+    transforms.functional = functional
     tv.transforms = transforms
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
 
 
 def load_reference_src():
