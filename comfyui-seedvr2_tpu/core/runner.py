@@ -65,6 +65,9 @@ class VideoDiffusionRunner:
         self.schedule = diffusion.LerpSchedule(config.diffusion.schedule_T)
         self._denoise_cache: Dict[tuple, callable] = {}
         self.mesh = None
+        # PartitionSpec tree for tensor-parallel DiT params (parallel/tp.py);
+        # None = params replicated (dp-only inference)
+        self.tp_specs = None
         # telemetry: per-call DiT batch sizes (observed by tests/debug to
         # prove the phase-2 dp sharding actually stacks batches)
         self.last_batch_sizes: List[int] = []
@@ -102,15 +105,33 @@ class VideoDiffusionRunner:
             self.dit_params = None
 
     def attach_mesh(self, mesh):
-        """Enable multi-chip data-parallel inference: params replicate across
-        the mesh, batches shard over the 'dp' axis. Replaces the reference's
-        per-GPU subprocess fan-out (inference_cli.py:1048-1214) with SPMD."""
+        """Enable multi-chip inference. Batches shard over the 'dp' axis
+        (replacing the reference's per-GPU subprocess fan-out,
+        inference_cli.py:1048-1214). When the mesh has a 'tp' axis > 1 and
+        the DiT weights are dense + divisible, the DiT serves
+        TENSOR-PARALLEL: attention heads and mlp hidden shard over tp
+        (parallel/tp.py — BASELINE config #5, 7B HBM-resident on a v5e-8)
+        and the denoise step runs as a shard_map with one psum after each
+        row-sharded projection; otherwise params replicate."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.mesh = mesh
-        if self.dit_params is not None:
+        self.tp_specs = None
+        tp = mesh.shape.get("tp", 1)
+        if self.dit_params is not None and tp > 1:
+            from ..parallel.tp import tp_compatible, tp_shard_dit_params
+
+            if tp_compatible(self.dit_params, self.dit_cfg, tp):
+                self.dit_params, self.tp_specs = tp_shard_dit_params(
+                    mesh, self.dit_params, self.dit_cfg)
+                self._denoise_cache.clear()
+        if self.dit_params is not None and self.tp_specs is None:
             self.dit_params = jax.device_put(
                 self.dit_params, NamedSharding(mesh, P()))
+        if self.streamed_dit is not None:
+            # BlockSwap composes with the mesh: blocks replicate, batches
+            # shard over dp (ops/offload.StreamedNaDiT.attach_mesh)
+            self.streamed_dit.attach_mesh(mesh)
         if self.vae is not None:
             self.vae.params = jax.device_put(
                 self.vae.params, NamedSharding(mesh, P()))
@@ -255,7 +276,7 @@ class VideoDiffusionRunner:
                     txt_len_neg: int, steps: int, cfg_scale: float,
                     cfg_rescale: float):
         key = (vid_shape, txt_len_pos, txt_len_neg, steps, cfg_scale,
-               cfg_rescale, self.attention_mode)
+               cfg_rescale, self.attention_mode, self.tp_specs is not None)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
         # trace-time dispatch flag (--attention_mode flash|xla)
@@ -308,8 +329,28 @@ class VideoDiffusionRunner:
             vid_in = jnp.concatenate([x, cond], axis=-1)
             tt = jnp.full((B,), t, dtype=jnp.float32)
 
-            def run(txt, plan):
-                return nadit_forward(params, cfg, vid_in, txt, tt, plan)
+            if self.tp_specs is not None:
+                from jax.sharding import PartitionSpec as P
+
+                dp = self.mesh.shape.get("dp", 1)
+                b_ax = "dp" if (dp > 1 and B % dp == 0) else None
+
+                def run(txt, plan):
+                    def fwd(prm, v, tx, ts):
+                        return nadit_forward(prm, cfg, v, tx, ts, plan,
+                                             tp_axis="tp")
+
+                    return jax.shard_map(
+                        fwd, mesh=self.mesh,
+                        in_specs=(self.tp_specs,
+                                  P(b_ax, None, None, None, None),
+                                  P(b_ax, None, None), P(b_ax)),
+                        out_specs=P(b_ax, None, None, None, None),
+                        check_vma=False,
+                    )(params, vid_in, txt, tt)
+            else:
+                def run(txt, plan):
+                    return nadit_forward(params, cfg, vid_in, txt, tt, plan)
 
             if cfg_scale == 1.0:
                 return run(txt_pos, plan_pos)

@@ -397,7 +397,7 @@ def _fold_norm_tables(cos_e: np.ndarray, sin_e: np.ndarray, wq_v, wq_t,
 
 
 def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
-                      layer_plan: RopedLayerPlan):
+                      layer_plan: RopedLayerPlan, tp_axis=None):
     """Joint windowed multi-modal attention for one block.
 
     xv: (B, L, D) video tokens in *this layer's window-major order* (each
@@ -418,6 +418,11 @@ def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
 
     qkv_v = linear(xv, _pick(p_attn["proj_qkv"], "vid"))   # (B, L, 3HD)
     qkv_t = linear(xt, _pick(p_attn["proj_qkv"], "txt"))   # (B, Lt, 3HD)
+    if tp_axis is not None:
+        # tensor parallel: qkv columns are head-sharded (parallel/tp.py
+        # permutes them so the local slice is a packed (3, Hloc, Dh)
+        # block); the whole attention below runs on local heads only
+        Hn = qkv_v.shape[-1] // (3 * Dh)
 
     wq_v = _pick(p_attn["norm_q"], "vid")["weight"]
     wk_v = _pick(p_attn["norm_k"], "vid")["weight"]
@@ -462,8 +467,10 @@ def _window_attention(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
     vid_out = jnp.concatenate(vid_chunks, axis=1)  # stays window-major
     txt_out = (txt_acc / layer_plan.num_windows).astype(xv.dtype)
 
-    vid_out = linear(vid_out, _pick(p_attn["proj_out"], "vid"))
-    txt_out = linear(txt_out, _pick(p_attn["proj_out"], "txt"))
+    vid_out = linear(vid_out, _pick(p_attn["proj_out"], "vid"),
+                     psum_axis=tp_axis)
+    txt_out = linear(txt_out, _pick(p_attn["proj_out"], "txt"),
+                     psum_axis=tp_axis)
     return vid_out, txt_out
 
 
@@ -497,7 +504,7 @@ def _from_windows(xw: jnp.ndarray, up: UniformPlan) -> jnp.ndarray:
 
 
 def _window_attention_uniform(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
-                              uplan: UniformAttnPlan):
+                              uplan: UniformAttnPlan, tp_axis=None):
     """Joint windowed mm attention over the uniform padded partition.
 
     xv: (B, L, D) video tokens in *canonical* order. qkv projection and qk
@@ -509,6 +516,8 @@ def _window_attention_uniform(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
     partition (na.py:583-641) without its varlen machinery."""
     B, L, _ = xv.shape
     Hn, Dh = cfg.heads, cfg.head_dim
+    if tp_axis is not None:  # head-sharded (see _window_attention)
+        Hn = _pick(p_attn["proj_qkv"], "vid")["w"].shape[-1] // (3 * Dh)
     up = uplan.up
 
     def qkv(x, branch):
@@ -552,13 +561,15 @@ def _window_attention_uniform(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
     txt_out = out[:, :, wlen:].astype(jnp.float32).mean(axis=1)
     txt_out = txt_out.astype(xv.dtype).reshape(B, ltxt, Hn * Dh)
 
-    vid_out = linear(vid_out, _pick(p_attn["proj_out"], "vid"))
-    txt_out = linear(txt_out, _pick(p_attn["proj_out"], "txt"))
+    vid_out = linear(vid_out, _pick(p_attn["proj_out"], "vid"),
+                     psum_axis=tp_axis)
+    txt_out = linear(txt_out, _pick(p_attn["proj_out"], "txt"),
+                     psum_axis=tp_axis)
     return vid_out, txt_out
 
 
 def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
-                   plan: DiTPlan, order: str = "canonical"):
+                   plan: DiTPlan, order: str = "canonical", tp_axis=None):
     """One NaMMSRTransformerBlock (mmsr_block.py:84-128).
 
     xv arrives in `order` token order; the block permutes it once into this
@@ -587,10 +598,10 @@ def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
     ht = _ada_in(ht, sa_v, ss_v, ada_t, "attn") if ada_t is not None else ht
     if uplan is not None:
         hv, ht = _window_attention_uniform(p_blk["attn"], cfg, hv, ht,
-                                           plan, uplan)
+                                           plan, uplan, tp_axis=tp_axis)
     else:
         hv, ht = _window_attention(p_blk["attn"], cfg, hv, ht, plan,
-                                   layer_plan)
+                                   layer_plan, tp_axis=tp_axis)
     hv = _ada_out(hv, sg_v, ada_v, "attn")
     ht = _ada_out(ht, sg_v, ada_t, "attn") if ada_t is not None else ht
     xv = xv + hv
@@ -599,13 +610,15 @@ def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
     # mlp sublayer
     hv = rms_norm(xv, eps)
     hv = _ada_in(hv, ma_v, ms_v, ada_v, "mlp")
-    hv = mlp_forward(hv, _pick(p_blk["mlp"], "vid"), cfg.mlp_type)
+    hv = mlp_forward(hv, _pick(p_blk["mlp"], "vid"), cfg.mlp_type,
+                     psum_axis=tp_axis)
     hv = _ada_out(hv, mg_v, ada_v, "mlp")
     xv = xv + hv
     if not vid_only:
         ht2 = rms_norm(xt, eps)
         ht2 = _ada_in(ht2, ma_v, ms_v, ada_t, "mlp")
-        ht2 = mlp_forward(ht2, _pick(p_blk["mlp"], "txt"), cfg.mlp_type)
+        ht2 = mlp_forward(ht2, _pick(p_blk["mlp"], "txt"), cfg.mlp_type,
+                          psum_axis=tp_axis)
         ht2 = _ada_out(ht2, mg_v, ada_t, "mlp")
         xt = xt + ht2
     return xv, xt, ("canonical" if uplan is not None else method)
@@ -643,7 +656,8 @@ def unpatchify(x: jnp.ndarray, grid, patch_size, out_channels: int,
 
 def nadit_forward(params, cfg: DiTConfig, vid: jnp.ndarray, txt: jnp.ndarray,
                   timestep: jnp.ndarray, plan: DiTPlan,
-                  downscale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  downscale: Optional[jnp.ndarray] = None,
+                  tp_axis: Optional[str] = None) -> jnp.ndarray:
     """Denoiser forward.
 
     Args:
@@ -676,7 +690,7 @@ def nadit_forward(params, cfg: DiTConfig, vid: jnp.ndarray, txt: jnp.ndarray,
     order = "canonical"
     for i, p_blk in enumerate(params["blocks"]):
         x, xt, order = _block_forward(p_blk, cfg, i, x, xt, emb_attn,
-                                      emb_mlp, plan, order)
+                                      emb_mlp, plan, order, tp_axis=tp_axis)
     if order != "canonical":
         x = gather_rows(x, plan.transitions[(order, "canonical")])
 

@@ -61,14 +61,19 @@ def group_norm(x: jnp.ndarray, num_groups: int, eps: float = 1e-6,
     return out
 
 
-def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+def linear(x: jnp.ndarray, p: dict,
+           psum_axis: Optional[str] = None) -> jnp.ndarray:
     """x @ w + b with fp32 accumulation on the MXU.
 
     p: {"w": (in, out), "b"?} for dense weights, or
     {"q8": (in, out) int8, "scales": (in/32, out), "b"?} for Q8_0 weights
     (routes through the fused dequant-matmul Pallas kernel), or
     {"w8a8": (in, out) int8, "ws": (out,) f32, "b"?} for the int8-MXU
-    serving mode (per-token dynamic activation quantization)."""
+    serving mode (per-token dynamic activation quantization).
+
+    psum_axis: for row-sharded tensor parallelism (parallel/tp.py) — the
+    local partial product is psum'd over the named mesh axis BEFORE the
+    bias so the bias is applied exactly once. Dense weights only."""
     if "w8a8" in p:
         from .int8_matmul import w8a8_linear
 
@@ -83,6 +88,8 @@ def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
         return affine_quant_linear(x, p)
     out = jnp.dot(x, p["w"].astype(x.dtype),
                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if psum_axis is not None:
+        out = jax.lax.psum(out, psum_axis)
     if "b" in p and p["b"] is not None:
         out = out + p["b"].astype(x.dtype)
     return out
@@ -96,7 +103,11 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(x)
 
 
-def mlp_forward(x: jnp.ndarray, p: dict, mlp_type: str) -> jnp.ndarray:
+def mlp_forward(x: jnp.ndarray, p: dict, mlp_type: str,
+                psum_axis: Optional[str] = None) -> jnp.ndarray:
+    """psum_axis: tensor-parallel mode — proj_in* are column-sharded (their
+    bias slices live with the columns), proj_out is row-sharded and psum'd
+    (parallel/tp.py)."""
     if mlp_type == "swiglu":
         if "w8a8" in p["proj_in_gate"] and "w8a8" in p["proj_in"]:
             from .int8_matmul import w8a8_double_linear
@@ -104,8 +115,9 @@ def mlp_forward(x: jnp.ndarray, p: dict, mlp_type: str) -> jnp.ndarray:
             g, u = w8a8_double_linear(x, p["proj_in_gate"], p["proj_in"])
             return linear(silu(g) * u, p["proj_out"])
         return linear(silu(linear(x, p["proj_in_gate"])) * linear(x, p["proj_in"]),
-                      p["proj_out"])
-    return linear(gelu_tanh(linear(x, p["proj_in"])), p["proj_out"])
+                      p["proj_out"], psum_axis=psum_axis)
+    return linear(gelu_tanh(linear(x, p["proj_in"])), p["proj_out"],
+                  psum_axis=psum_axis)
 
 
 def swiglu_hidden_dim(dim: int, expand_ratio: int, multiple_of: int = 256) -> int:

@@ -75,6 +75,41 @@ def test_runner_streamed_blockswap_matches_regular():
     assert stats["block_bytes"] > 0
 
 
+def test_streamed_blockswap_on_mesh_matches_regular():
+    """BlockSwap composes with multi-chip: a streamed runner with an
+    attached mesh (blocks replicated, dp-sharded batches) must equal the
+    single-device regular runner (VERDICT r2 item 8)."""
+    from jax.sharding import Mesh
+    from seedvr2_tpu.core.configs import RunnerConfig, VAEConfig
+    from seedvr2_tpu.core.runner import VideoDiffusionRunner
+    from seedvr2_tpu.ops.offload import StreamedNaDiT
+
+    cfg = _tiny_cfg()
+    params = init_dit_params(jax.random.PRNGKey(6), cfg, dtype=jnp.float32)
+    rcfg = RunnerConfig(dit=cfg, vae=VAEConfig())
+    regular = VideoDiffusionRunner(params, cfg, None, rcfg,
+                                   compute_dtype=jnp.float32)
+    streamed = VideoDiffusionRunner(
+        None, cfg, None, rcfg, compute_dtype=jnp.float32,
+        streamed_dit=StreamedNaDiT(params, cfg, keep_blocks=1))
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1, 1),
+                ("dp", "fsdp", "tp"))
+    streamed.attach_mesh(mesh)
+    assert streamed.streamed_dit.mesh is mesh
+
+    rng = np.random.default_rng(7)
+    noises = [jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)
+              for _ in range(2)]  # b=2 shards over dp=2
+    conds = [regular.get_condition(n, n) for n in noises]
+    txt = [np.asarray(rng.standard_normal((5, 16)), np.float32)]
+
+    ref = regular.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+    out = streamed.inference(noises, conds, txt, txt, cfg_scale=1.0, steps=1)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_runner_phase_offload_roundtrip():
     """Per-phase DiT offload (set_phase_offload/release_dit): inference
     auto-restores the weights from the retained host tree and reproduces
