@@ -102,7 +102,13 @@ def parse_arguments():
                            "to jax.process_index()")
     perf.add_argument("--join_parts", action="store_true",
                       help="assemble the per-host .partN.npy segments into "
-                           "the final output (Hann-blended seams)")
+                           "the final output (Hann-blended seams, streamed "
+                           "to the writer one segment at a time)")
+    perf.add_argument("--coordinator_address", type=str, default=None,
+                      help="host:port of host 0 for jax.distributed."
+                           "initialize on real multi-host pods (also via "
+                           "$JAX_COORDINATOR_ADDRESS); optional — the "
+                           "file-based fan-out needs only a shared path")
     perf.add_argument("--quant", type=str, default="none",
                       choices=["none", "q8", "q4k", "w8a8"],
                       help="DiT serving quantization: q8 = int8 weights + "
@@ -367,13 +373,20 @@ def _process_video_multihost(args, debug):
                                     args.temporal_overlap)
 
     if args.join_parts:
-        video = multihost.join_segments(out_path, args.num_hosts,
-                                        args.temporal_overlap)
-        writer = video_io.VideoWriter(out_path, fps, video.shape[1:3])
-        writer.write_frames(video)
-        writer.close()
+        # streamed join: at most one segment in RAM, chunks go straight to
+        # the video writer (a long 4K video never assembles in memory)
+        writer = None
+        joined = 0
+        for chunk in multihost.iter_joined_segments(
+                out_path, args.num_hosts, args.temporal_overlap):
+            if writer is None:
+                writer = video_io.VideoWriter(out_path, fps, chunk.shape[1:3])
+            writer.write_frames(chunk)
+            joined += chunk.shape[0]
+        if writer is not None:
+            writer.close()
         debug.log(f"Joined {args.num_hosts} segments -> {out_path} "
-                  f"({video.shape[0]} frames)", category="generation",
+                  f"({joined} frames)", category="generation",
                   force=True)
         return out_path
 
@@ -439,6 +452,14 @@ def main():
     from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    coord = (args.coordinator_address
+             or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if args.num_hosts > 1 and coord and not args.join_parts:
+        # before first device use (jax.distributed requirement); makes
+        # --host_index default to jax.process_index() fleet-wide
+        from seedvr2_tpu.parallel import multihost
+
+        multihost.distributed_init(coord, args.num_hosts, args.host_index)
     debug = Debug(enabled=args.debug, profile_dir=args.profile_dir)
     debug.log_environment()
     if args.convert_embeddings is not None:

@@ -46,6 +46,41 @@ def test_join_segments_blend(tmp_path):
         multihost.join_segments(out, 3, 2)
 
 
+def test_segments_stored_fp16(tmp_path):
+    """Segments persist as fp16 (half the shared-filesystem bytes); the
+    join returns float32 and round-trips [0,1] frames losslessly at 8-bit
+    output precision."""
+    out = str(tmp_path / "v.mp4")
+    frames = np.random.default_rng(0).uniform(0, 1, (4, 6, 6, 3))
+    path = multihost.save_segment(out, 0, frames.astype(np.float32))
+    stored = np.load(path)
+    assert stored.dtype == np.float16
+    video = multihost.join_segments(out, 1, 0)
+    assert video.dtype == np.float32
+    # fp16 has ~1e-3 resolution on [0,1] — far below the 1/255 quantization
+    # of the final 8-bit video
+    assert np.abs(video - frames).max() < 1.0 / 1024
+
+
+def test_streamed_join_matches_batch(tmp_path):
+    """iter_joined_segments (the CLI's streamed writer path) must emit
+    exactly the assembled video, one bounded chunk per segment."""
+    out = str(tmp_path / "v.mp4")
+    rng = np.random.default_rng(1)
+    lens = [9, 8, 6]
+    for i, n in enumerate(lens):
+        multihost.save_segment(
+            out, i, rng.uniform(0, 1, (n, 4, 4, 3)).astype(np.float32))
+    overlap = 3
+    whole = multihost.join_segments(out, 3, overlap)
+    chunks = list(multihost.iter_joined_segments(out, 3, overlap))
+    # bounded memory: one chunk per segment, none larger than a segment
+    assert len(chunks) == 3
+    assert all(c.shape[0] <= max(lens) for c in chunks)
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=0), whole)
+    assert whole.shape[0] == sum(lens) - (len(lens) - 1) * overlap
+
+
 def test_cli_two_host_fanout(tiny_checkpoints, tmp_path,  # noqa: F811
                              monkeypatch):
     """Drive the CLI as 2 'hosts' + join on a 12-frame clip: every segment
