@@ -297,8 +297,16 @@ CORE = ("encode", "dit", "decode")
 PHASES = {"encode": phase_encode, "dit": phase_dit, "decode": phase_decode,
           "dit_w8a8": phase_dit_w8a8, "dit_7b_q8": phase_dit_7b_q8}
 # rough per-phase wall cost (compile + session already warm) used only to
-# decide whether an OPTIONAL lane still fits the budget
-_EST_PHASE_S = 240.0
+# decide whether an OPTIONAL lane still fits the budget; lanes can also be
+# trimmed explicitly via BENCH_LANES (comma list, "" = core phases only)
+_EST_PHASE_S = 600.0
+
+
+def _lanes():
+    env = os.environ.get("BENCH_LANES")
+    if env is None:
+        return ["dit_w8a8", "dit_7b_q8"]
+    return [x for x in env.split(",") if x]
 
 
 def _emit(times):
@@ -363,7 +371,7 @@ def main():
         _sweep()
         _emit(times)
 
-    for lane in ("dit_w8a8", "dit_7b_q8"):
+    for lane in _lanes():
         if _elapsed() + _EST_PHASE_S > _budget():
             _note(f"lane {lane}: skipped (budget: {_elapsed():.0f}s of "
                   f"{_budget():.0f}s spent)")

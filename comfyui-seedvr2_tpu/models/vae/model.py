@@ -145,35 +145,33 @@ def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
     ops/int8_conv.py when conv_quant == "int8" — the normalized input makes
     the per-tensor activation scale well-conditioned)."""
     p = _get(params, conv_path)
-    from ...ops.int8_conv import int8_causal_conv3d, int8_conv_viable
+    from ...ops.int8_conv import (int8_conv3d, int8_conv_viable,
+                                  norm_silu_quantize, quantize_conv_weight)
 
     if conv_quant == "int8" and x.shape[0] == 1 \
             and int8_conv_viable(p["w"].shape[-2], p["w"].shape[-1],
                                  x.shape[3]):
         # non-viable shapes stay bf16: conv_out's Co=3 (output-critical RGB
         # projection), sub-128 channel dims, and the C=512 wide-W stage
-        # whose halo windows exceed the kernel's VMEM budget
-
-        h = frame_group_norm(params, norm_path, x, num_groups)
-        h = silu(h)
-        # ACTIVE slices (state carried from the previous slice) stay int8
-        # too: the carried bf16 tail is quantized together with this
-        # slice's input so numerics are uniform across the temporal seam
+        # whose halo windows exceed the kernel's VMEM budget.
+        # The norm+silu+quantize is FUSED (2 HBM passes total, int8_conv.
+        # norm_silu_quantize) — v1's separate norm/absmax/round/pad passes
+        # were why int8 decode lost to bf16 (docs/performance.md). ACTIVE
+        # slices stay int8 too: the carried bf16 tail quantizes with the
+        # same scale so numerics are uniform across the temporal seam.
         head = state.get(conv_path) if state is not None else None
+        x_ext, scale, tail = norm_silu_quantize(
+            x, _get(params, norm_path)["weight"], _get(params, norm_path)["b"],
+            num_groups, head=head)
         cache = p["w"].shape[0] - 1  # kt - stride
         if new_state is not None and cache > 0:
-            # tail of the EXTENDED input, matching causal_conv3d's state
-            # contract for any T
-            t_len = h.shape[1]
-            if t_len >= cache:
-                new_state[conv_path] = h[:, -cache:]
-            elif head is not None:
-                new_state[conv_path] = jnp.concatenate(
-                    [head.astype(h.dtype), h], axis=1)[:, -cache:]
-            else:
-                new_state[conv_path] = jnp.concatenate(
-                    [jnp.repeat(h[:, :1], cache - t_len, axis=1), h], axis=1)
-        return int8_causal_conv3d(h, p["w"], p.get("b"), head=head)
+            new_state[conv_path] = tail
+        wq, ws = quantize_conv_weight(p["w"])
+        t_len = x.shape[1]
+        out = int8_conv3d(x_ext, wq, jnp.broadcast_to(scale, (t_len,)), ws)
+        if "b" in p:
+            out = out + p["b"].astype(out.dtype)
+        return out[None, :, :, :x.shape[3]]
     if state is None and _fused_norm_ok():
         from ...ops.fused_norm import norm_silu_head
 

@@ -198,6 +198,82 @@ def quantize_conv_weight(w: jnp.ndarray):
     return q.astype(jnp.int8), s
 
 
+def norm_silu_quantize(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+                       num_groups: int, head: jnp.ndarray = None,
+                       eps: float = 1e-6):
+    """Fused GroupNorm(per-frame stats) + SiLU + symmetric int8 quantize,
+    emitted in the int8 conv kernel's extended/padded layout — the
+    "int8 activations across convs" redesign (docs/performance.md round-2
+    'Tried and rejected' follow-up; VERDICT r2 item 2).
+
+    The v1 path cost ~5 full-tensor HBM reads + 2.5 writes per conv
+    (norm stats, norm apply, bf16 write, absmax, quantize, pad copy); here:
+      pass 1: mean / E[x^2] / max|x| per (frame, group) — ONE read.
+      scale : analytic bound through the affine+SiLU, no absmax pass:
+              max|silu(z*gamma+beta)| <= max_c(|gamma_c|*zbound_g+|beta_c|)
+              with zbound_g = (max|x| + |mean|) * rsqrt(var+eps), clamped
+              below by silu's negative lobe 0.2785. Slightly conservative
+              (the true max rarely sits on the max-|gamma| channel), which
+              costs <1 bit of the int8 range — accuracy is asserted against
+              the bf16 decode in tests/test_int8_conv.py.
+      pass 2: normalize+silu+quantize+pad — one read, one (half-size) int8
+              write, fused by XLA into a single elementwise chain.
+
+    x: (1, T, H, W, C) float; head: (1, 2, H, W, C) carried bf16 tail of
+    the previous slice (ACTIVE) or None (INITIALIZING -> repeat frame 0).
+    Returns (x_ext (T+2, H+2, Wp, C) int8, scale f32 scalar,
+    tail (1, 2, H, W, C) bf16 state for the next slice)."""
+    _, t, hh, ww, c = x.shape
+    g = num_groups
+    xr = x[0].astype(jnp.float32).reshape(t, hh * ww, g, c // g)
+    mean = jnp.mean(xr, axis=(1, 3), keepdims=True)          # (t,1,g,1)
+    meansq = jnp.mean(jnp.square(xr), axis=(1, 3), keepdims=True)
+    maxabs = jnp.max(jnp.abs(xr), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+
+    g32 = gamma.astype(jnp.float32).reshape(g, c // g)
+    b32 = beta.astype(jnp.float32).reshape(g, c // g)
+    zbound = (maxabs + jnp.abs(mean)) * inv                  # (t,1,g,1)
+    chan_bound = (jnp.abs(g32)[None, None] * zbound
+                  + jnp.abs(b32)[None, None])                # (t,1,g,c/g)
+    bound = jnp.maximum(jnp.max(chan_bound), 0.2785)
+
+    def norm_silu(frames32, mean_, inv_):
+        y = (frames32 - mean_) * inv_ * g32[None, None] + b32[None, None]
+        return jax.nn.silu(y)
+
+    if head is not None:
+        habs = jnp.max(jnp.abs(head.astype(jnp.float32)))
+        scale = jnp.maximum(bound, habs) / 127.0
+    else:
+        scale = bound / 127.0
+    inv_s = 1.0 / scale
+
+    def quant(y32):
+        return jnp.clip(jnp.round(y32 * inv_s), -127, 127).astype(jnp.int8)
+
+    yq = quant(norm_silu(xr, mean, inv)).reshape(t, hh, ww, c)
+    if head is not None:
+        hq = quant(head[0].astype(jnp.float32))
+    else:
+        hq = jnp.repeat(yq[:1], 2, axis=0)
+    wp = _round_up(ww + 2, _SUBLANE)
+    x_ext = jnp.pad(jnp.concatenate([hq, yq], axis=0),
+                    ((0, 0), (1, 1), (1, wp - ww - 1), (0, 0)))
+
+    # bf16 state tail for the NEXT slice: recomputed on the last 2 frames
+    # only (y itself is never materialized in bf16)
+    nt = min(2, t)
+    tail = norm_silu(xr[t - nt:], mean[t - nt:], inv[t - nt:])
+    tail = tail.reshape(nt, hh, ww, c)
+    if nt < 2:
+        pre = (head[0, -(2 - nt):].astype(jnp.float32) if head is not None
+               else jnp.repeat(tail[:1], 2 - nt, axis=0))
+        tail = jnp.concatenate([pre, tail], axis=0)
+    return x_ext, scale, tail[None].astype(x.dtype)
+
+
 def int8_causal_conv3d(x: jnp.ndarray, w: jnp.ndarray, bias,
                        hb: int = 8, cob: int = 128,
                        interpret: bool = False,

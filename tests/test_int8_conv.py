@@ -86,6 +86,61 @@ def test_vae_decode_conv_quant_int8():
     assert np.isfinite(q).all()
 
 
+def test_norm_silu_quantize_fused_matches_explicit():
+    """The 2-pass fused norm+silu+quantize (v2 int8-decode path) must agree
+    with the explicit GroupNorm -> SiLU -> quantize chain: the analytic
+    scale bound covers the true absmax (no clipping), so the dequantized
+    values differ from the explicit float path by at most scale/2."""
+    from seedvr2_tpu.models.vae.model import frame_group_norm
+    from seedvr2_tpu.ops.int8_conv import norm_silu_quantize
+
+    rng = np.random.default_rng(5)
+    T, H, W, C, G = 3, 6, 10, 8, 4
+    x = jnp.asarray(rng.standard_normal((1, T, H, W, C)) * 2.0, jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((C,)) * 0.2, jnp.float32)
+
+    x_ext, scale, tail = norm_silu_quantize(x, gamma, beta, G)
+    y_ref = jax.nn.silu(frame_group_norm(
+        {"n": {"weight": gamma, "b": beta}}, "n", x, G))
+    y_ref = np.asarray(y_ref[0], np.float32)
+
+    # scale bound covers the true absmax -> nothing clipped
+    s = float(scale)
+    assert np.abs(y_ref).max() <= s * 127.0 * (1 + 1e-5)
+    # interior (un-padded, post-head) region dequantizes to y_ref +- s/2
+    wp = x_ext.shape[2]
+    deq = np.asarray(x_ext, np.float32)[2:, 1:-1, 1:W + 1] * s
+    assert x_ext.shape == (T + 2, H + 2, wp, C)
+    assert np.abs(deq - y_ref).max() <= s * 0.51
+    # head rows repeat frame 0 (INITIALIZING semantics)
+    np.testing.assert_array_equal(np.asarray(x_ext)[0], np.asarray(x_ext)[2])
+    # state tail is the bf16 norm+silu of the last 2 frames
+    np.testing.assert_allclose(np.asarray(tail[0], np.float32),
+                               y_ref[-2:], rtol=1e-5, atol=1e-5)
+
+
+def test_norm_silu_quantize_carried_state():
+    """ACTIVE slices: the carried head quantizes with the shared scale and
+    lands in the extended rows; the scale also covers the head's absmax."""
+    from seedvr2_tpu.ops.int8_conv import norm_silu_quantize
+
+    rng = np.random.default_rng(6)
+    T, H, W, C, G = 2, 4, 6, 8, 2
+    x = jnp.asarray(rng.standard_normal((1, T, H, W, C)), jnp.float32)
+    head = jnp.asarray(rng.standard_normal((1, 2, H, W, C)) * 3.0,
+                       jnp.float32)
+    gamma = jnp.ones((C,), jnp.float32)
+    beta = jnp.zeros((C,), jnp.float32)
+
+    x_ext, scale, _ = norm_silu_quantize(x, gamma, beta, G, head=head)
+    s = float(scale)
+    assert np.abs(np.asarray(head)).max() <= s * 127.0 * (1 + 1e-5)
+    deq_head = np.asarray(x_ext, np.float32)[:2, 1:-1, 1:W + 1] * s
+    np.testing.assert_allclose(deq_head, np.asarray(head[0], np.float32),
+                               atol=s * 0.51)
+
+
 def test_quantize_conv_weight_roundtrip():
     rng = np.random.default_rng(2)
     w = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)), jnp.float32)
