@@ -367,6 +367,24 @@ def _ada_in(x, shift_a, scale_a, p_ada, layer: str):
         shift_a[:, None, :].astype(x.dtype) + shift_b)
 
 
+def _norm_mod(x, shift_a, scale_a, p_ada, layer: str, eps: float,
+              p_consumer):
+    """rms_norm + AdaSingle modulation, the producer of every video-branch
+    matmul input. When the consuming projection serves w8a8, the whole
+    chain runs as ONE fused Pallas pass that also emits the per-row int8
+    quantization the matmul needs (ops/fused_quant.rms_ada_quantize) —
+    the separate norm/modulate/absmax/round HBM passes disappear."""
+    if p_consumer is not None and "w8a8" in p_consumer:
+        from ...ops.fused_quant import rms_ada_quantize
+
+        scale = (scale_a.astype(jnp.float32)
+                 + p_ada[f"{layer}_scale"].astype(jnp.float32)[None])
+        shift = (shift_a.astype(jnp.float32)
+                 + p_ada[f"{layer}_shift"].astype(jnp.float32)[None])
+        return rms_ada_quantize(x, scale, shift, eps)
+    return _ada_in(rms_norm(x, eps), shift_a, scale_a, p_ada, layer)
+
+
 def _ada_out(x, gate_a, p_ada, layer: str):
     gate_b = p_ada[f"{layer}_gate"].astype(x.dtype)
     return x * (gate_a[:, None, :].astype(x.dtype) + gate_b)
@@ -589,10 +607,12 @@ def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
     ada_v = _pick(p_blk["ada"], "vid")
     ada_t = _pick(p_blk["ada"], "txt") if not vid_only else None
 
-    # attention sublayer
-    hv = rms_norm(xv, eps)
+    # attention sublayer (vid producer fuses into the w8a8 qkv quantize
+    # when serving int8 and not head-sharded — see _norm_mod)
+    p_qkv_v = _pick(p_blk["attn"]["proj_qkv"], "vid")
+    hv = _norm_mod(xv, sa_v, ss_v, ada_v, "attn", eps,
+                   p_qkv_v if tp_axis is None else None)
     ht = rms_norm(xt, eps)
-    hv = _ada_in(hv, sa_v, ss_v, ada_v, "attn")
     # 3B last layer: ada is vid_only -> txt enters attention normed but
     # unmodulated and leaves ungated (MMModule.vid_only skips the txt call).
     ht = _ada_in(ht, sa_v, ss_v, ada_t, "attn") if ada_t is not None else ht
@@ -608,9 +628,11 @@ def _block_forward(p_blk, cfg: DiTConfig, i: int, xv, xt, emb_attn, emb_mlp,
     xt = xt + ht
 
     # mlp sublayer
-    hv = rms_norm(xv, eps)
-    hv = _ada_in(hv, ma_v, ms_v, ada_v, "mlp")
-    hv = mlp_forward(hv, _pick(p_blk["mlp"], "vid"), cfg.mlp_type,
+    p_mlp_v = _pick(p_blk["mlp"], "vid")
+    hv = _norm_mod(xv, ma_v, ms_v, ada_v, "mlp", eps,
+                   (p_mlp_v.get("proj_in_gate", p_mlp_v.get("proj_in"))
+                    if tp_axis is None else None))
+    hv = mlp_forward(hv, p_mlp_v, cfg.mlp_type,
                      psum_axis=tp_axis)
     hv = _ada_out(hv, mg_v, ada_v, "mlp")
     xv = xv + hv

@@ -273,30 +273,50 @@ def _w8a8_matmul_2d(x2d, wq, ws, interpret: bool):
                        interpret=interpret)
 
 
-def w8a8_linear(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
+def w8a8_linear(x, wq: jnp.ndarray, ws: jnp.ndarray,
                 bias=None, interpret: bool = False) -> jnp.ndarray:
-    """Drop-in linear: quantize activations per token, int8 MXU matmul."""
-    lead = x.shape[:-1]
-    k = x.shape[-1]
-    out = _w8a8_matmul_2d(x.reshape(-1, k), wq, ws, interpret)
+    """Drop-in linear: quantize activations per token, int8 MXU matmul.
+
+    x may be a float array OR an ops.fused_quant.PreQuantized (activations
+    already int8 from a fused producer kernel — skips the quantize pass)."""
+    from .fused_quant import PreQuantized
+
+    if isinstance(x, PreQuantized):
+        lead = x.q.shape[:-1]
+        k = x.q.shape[-1]
+        out = int8_matmul(x.q.reshape(-1, k), wq, x.s.reshape(-1), ws,
+                          out_dtype=x.dtype, interpret=interpret)
+    else:
+        lead = x.shape[:-1]
+        k = x.shape[-1]
+        out = _w8a8_matmul_2d(x.reshape(-1, k), wq, ws, interpret)
     out = out.reshape(*lead, wq.shape[1])
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
 
 
-def w8a8_double_linear(x: jnp.ndarray, p_a: dict, p_b: dict,
+def w8a8_double_linear(x, p_a: dict, p_b: dict,
                        interpret: bool = False):
     """Two w8a8 linears sharing one input (swiglu gate + up): quantize the
     activations once and run a single fused (K, Na+Nb) int8 matmul. The
     weight concat is a per-call copy of int8 constants (~13 MB at 3B MLP
-    size — negligible next to the saved full-activation quantize pass)."""
-    lead = x.shape[:-1]
-    k = x.shape[-1]
+    size — negligible next to the saved full-activation quantize pass).
+    x may be a PreQuantized from a fused producer (see w8a8_linear)."""
+    from .fused_quant import PreQuantized
+
     na = p_a["w8a8"].shape[1]
     wq = jnp.concatenate([p_a["w8a8"], p_b["w8a8"]], axis=1)
     ws = jnp.concatenate([p_a["ws"], p_b["ws"]])
-    out = _w8a8_matmul_2d(x.reshape(-1, k), wq, ws, interpret)
+    if isinstance(x, PreQuantized):
+        lead = x.q.shape[:-1]
+        k = x.q.shape[-1]
+        out = int8_matmul(x.q.reshape(-1, k), wq, x.s.reshape(-1), ws,
+                          out_dtype=x.dtype, interpret=interpret)
+    else:
+        lead = x.shape[:-1]
+        k = x.shape[-1]
+        out = _w8a8_matmul_2d(x.reshape(-1, k), wq, ws, interpret)
     out = out.reshape(*lead, -1)
     a, b = out[..., :na], out[..., na:]
     if p_a.get("b") is not None and "b" in p_a:

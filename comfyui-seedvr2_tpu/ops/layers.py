@@ -73,11 +73,16 @@ def linear(x: jnp.ndarray, p: dict,
 
     psum_axis: for row-sharded tensor parallelism (parallel/tp.py) — the
     local partial product is psum'd over the named mesh axis BEFORE the
-    bias so the bias is applied exactly once. Dense weights only."""
+    bias so the bias is applied exactly once. Dense weights only.
+
+    x may be an ops.fused_quant.PreQuantized (pre-quantized activations
+    from a fused producer kernel) — valid only with w8a8 weights."""
     if "w8a8" in p:
         from .int8_matmul import w8a8_linear
 
         return w8a8_linear(x, p["w8a8"], p["ws"], bias=p.get("b"))
+    if isinstance(x, tuple):
+        raise TypeError("PreQuantized input requires w8a8 weights")
     if "q8" in p:
         from .quant_matmul import quant_linear
 
@@ -110,9 +115,14 @@ def mlp_forward(x: jnp.ndarray, p: dict, mlp_type: str,
     (parallel/tp.py)."""
     if mlp_type == "swiglu":
         if "w8a8" in p["proj_in_gate"] and "w8a8" in p["proj_in"]:
+            from .fused_quant import silu_mul_quantize
             from .int8_matmul import w8a8_double_linear
 
             g, u = w8a8_double_linear(x, p["proj_in_gate"], p["proj_in"])
+            if "w8a8" in p["proj_out"]:
+                # fused silu*up + per-row quantize: one read of g/u, int8
+                # write — replaces XLA's separate absmax/round passes
+                return linear(silu_mul_quantize(g, u), p["proj_out"])
             return linear(silu(g) * u, p["proj_out"])
         return linear(silu(linear(x, p["proj_in_gate"])) * linear(x, p["proj_in"]),
                       p["proj_out"], psum_axis=psum_axis)
