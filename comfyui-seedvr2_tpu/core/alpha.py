@@ -125,6 +125,14 @@ def edge_guided_alpha_upscale(input_alpha: np.ndarray,
 def process_alpha_for_batch(rgb_upscaled: np.ndarray, alpha_original: np.ndarray,
                             rgb_original: np.ndarray) -> np.ndarray:
     """Phase-4 entry: upscale the batch's alpha to match the upscaled RGB
-    (alpha_upscaling.py:18-122). All channels-last."""
+    (alpha_upscaling.py:18-122). All channels-last.
+
+    KNOWN REFERENCE MISALIGNMENT (kept bug-for-bug, do not "fix" only
+    here): under temporal overlap the decoded batch drops its first
+    `overlap` frames during blending, but alpha_original is the UNTRIMMED
+    per-batch alpha — so alpha frame k pairs with RGB frame k+overlap.
+    The reference does the same (generation_phases.py:1141-1199 slices
+    final_video[write_start:write_end] against the untrimmed alpha). Any
+    fix must shift both sides together or output parity breaks."""
     t = rgb_upscaled.shape[0]
     return edge_guided_alpha_upscale(alpha_original[:t], rgb_upscaled)

@@ -166,7 +166,10 @@ def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
         cache = p["w"].shape[0] - 1  # kt - stride
         if new_state is not None and cache > 0:
             new_state[conv_path] = tail
-        wq, ws = quantize_conv_weight(p["w"])
+        if "wq" in p:  # pre-quantized at VideoVAE construction
+            wq, ws = p["wq"], p["ws"]
+        else:
+            wq, ws = quantize_conv_weight(p["w"])
         t_len = x.shape[1]
         out = int8_conv3d(x_ext, wq, jnp.broadcast_to(scale, (t_len,)), ws)
         if "b" in p:
@@ -220,13 +223,17 @@ def _spatial_attention(q, k, v, scale):
     n_chunks = kp.shape[1] // _ATTN_CHUNK
     kc = kp.reshape(k.shape[0], n_chunks, _ATTN_CHUNK, k.shape[2])
     vc = vp.reshape(v.shape[0], n_chunks, _ATTN_CHUNK, v.shape[2])
-    q32 = q.astype(jnp.float32) * scale
+    # operands stay bf16 with f32 MXU accumulation (matching the
+    # non-chunked path): casting q/k/v to f32 forced f32-rate matmuls,
+    # ~4x off bf16 peak. The scale applies to the f32 logits, softmax
+    # statistics remain f32; p rounds to the input dtype for the pv
+    # matmul like the DiT flash kernel.
 
     def step(carry, inputs):
         m, l, acc = carry
         kb, vb, idx = inputs
-        logit = jnp.einsum("bqc,bkc->bqk", q32, kb.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
+        logit = jnp.einsum("bqc,bkc->bqk", q, kb,
+                           preferred_element_type=jnp.float32) * scale
         col = idx * _ATTN_CHUNK + jax.lax.broadcasted_iota(
             jnp.int32, logit.shape, 2)
         logit = jnp.where(col < s, logit, -jnp.inf)
@@ -235,7 +242,7 @@ def _spatial_attention(q, k, v, scale):
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * corr + jnp.einsum(
-            "bqk,bkc->bqc", p, vb.astype(jnp.float32),
+            "bqk,bkc->bqc", p.astype(v.dtype), vb,
             preferred_element_type=jnp.float32)
         return (m_new, l, acc), None
 

@@ -118,11 +118,32 @@ def _decode_slices(params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=1)
 
 
+def _attach_int8_weights(node):
+    """Attach per-channel int8 copies ("wq"/"ws") to every decoder conv the
+    int8 path can serve (full (3,·,·) kernels with lane-tileable channel
+    dims), so the quantization happens once at construction instead of
+    inside every jitted decode call (models/vae/model.py:norm_silu_conv)."""
+    from ...ops.int8_conv import quantize_conv_weight
+
+    if isinstance(node, dict):
+        out = {k: _attach_int8_weights(v) for k, v in node.items()}
+        w = node.get("w")
+        if (getattr(w, "ndim", 0) == 5 and w.shape[0] == 3
+                and w.shape[-2] % 128 == 0 and w.shape[-1] % 128 == 0):
+            wq, ws = quantize_conv_weight(w)
+            out["wq"], out["ws"] = wq, ws
+        return out
+    return node
+
+
 class VideoVAE:
     """Stateless-parameter VAE with reference-equivalent encode/decode."""
 
     def __init__(self, params: dict, cfg: VAEConfig = VAEConfig(),
                  dtype=jnp.bfloat16):
+        if cfg.conv_quant == "int8" and "decoder" in params:
+            params = dict(params,
+                          decoder=_attach_int8_weights(params["decoder"]))
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
