@@ -176,8 +176,33 @@ class VideoVAE:
         def dec_rest(p, z, s):
             return decoder_core(p, cfg_, z, s)
 
+        # State-free variants for slices whose carried tails have no
+        # consumer (the only slice, or the last one). Dropping new_state
+        # INSIDE the jit lets XLA dead-code the tail computation and its
+        # HBM writes — the full state dict of a 1088 px decode tile is
+        # ~9.6 GB of outputs (measured via memory_analysis), which both
+        # blew the 16 GB chip on unsliced tile decodes and wasted ~10 GB
+        # of write bandwidth per encode tile.
+        @functools.partial(jax.jit)
+        def enc_first_only(p, x):
+            return encoder_core(p, cfg_, x, None)[0]
+
+        @functools.partial(jax.jit)
+        def enc_rest_only(p, x, s):
+            return encoder_core(p, cfg_, x, s)[0]
+
+        @functools.partial(jax.jit)
+        def dec_first_only(p, z):
+            return decoder_core(p, cfg_, z, None)[0]
+
+        @functools.partial(jax.jit)
+        def dec_rest_only(p, z, s):
+            return decoder_core(p, cfg_, z, s)[0]
+
         self._enc_first, self._enc_rest = enc_first, enc_rest
         self._dec_first, self._dec_rest = dec_first, dec_rest
+        self._enc_first_only, self._enc_rest_only = enc_first_only, enc_rest_only
+        self._dec_first_only, self._dec_rest_only = dec_first_only, dec_rest_only
         self._tiled_scan_cache = {}
 
     # -------------------------------------------------- temporal slicing --
@@ -186,8 +211,7 @@ class VideoVAE:
         T = x.shape[1]
         split = self.cfg.slicing_sample_min_size
         if (T - 1) <= split:
-            moments, _ = self._enc_first(self.params, x)
-            return moments
+            return self._enc_first_only(self.params, x)
         outs = []
         first = x[:, : split + 1]
         moments, state = self._enc_first(self.params, first)
@@ -195,7 +219,10 @@ class VideoVAE:
         pos = split + 1
         while pos < T:
             chunk = x[:, pos: pos + split]
-            moments, state = self._enc_rest(self.params, chunk, state)
+            if pos + split >= T:  # last slice: tails have no consumer
+                moments = self._enc_rest_only(self.params, chunk, state)
+            else:
+                moments, state = self._enc_rest(self.params, chunk, state)
             outs.append(moments)
             pos += split
         return jnp.concatenate(outs, axis=1)
@@ -204,8 +231,7 @@ class VideoVAE:
         Tl = z.shape[1]
         split = self.cfg.slicing_latent_min_size
         if (Tl - 1) <= split:
-            out, _ = self._dec_first(self.params, z)
-            return out
+            return self._dec_first_only(self.params, z)
         outs = []
         first = z[:, : split + 1]
         out, state = self._dec_first(self.params, first)
@@ -213,7 +239,10 @@ class VideoVAE:
         pos = split + 1
         while pos < Tl:
             chunk = z[:, pos: pos + split]
-            out, state = self._dec_rest(self.params, chunk, state)
+            if pos + split >= Tl:  # last slice: tails have no consumer
+                out = self._dec_rest_only(self.params, chunk, state)
+            else:
+                out, state = self._dec_rest(self.params, chunk, state)
             outs.append(out)
             pos += split
         return jnp.concatenate(outs, axis=1)
