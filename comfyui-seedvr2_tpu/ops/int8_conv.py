@@ -37,23 +37,39 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _conv_kernel(xs_ref, x_hbm, w_ref, ws_ref, o_ref, acc, win, rot1, rot2,
-                 sem, *, hb: int, W: int, Wp: int, C: int, cob: int,
-                 n_h: int, n_steps: int):
-    """Software-pipelined: two window slots; while program (t, h) computes
-    from slot step%2, the DMA for (t, h)+1 fills the other slot. win:
-    (2, 3, hb+2, Wp, C) int8; sem: (2,) DMA semaphores."""
+def _conv_kernel(xs_ref, x_hbm, w_ref, ws_ref, o_ref, acc, win, wcat,
+                 sem, *, hb: int, wb: int, wq: int, C: int, cob: int,
+                 n_h: int, n_w: int, n_steps: int):
+    """Software-pipelined over a 2D (row-block, col-block) spatial grid:
+    two window slots; while program (t, h, j) computes from slot step%2,
+    the DMA for the next step fills the other. win: (2, 3, hb+2, wq, C)
+    int8 with wq = wb + 32 (2 halo cols rounded to the int8 sublane tile);
+    sem: (2,) DMA semaphores.
+
+    The dw taps are folded into the contraction: wcat (hb+2, wq, 3C) holds
+    [x, x<<1, x<<2] (width rolls) concatenated on the lane dim, so each
+    (dt, dh) pair is ONE (hb*wq, 3C) @ (3C, cob) matmul — 9 deep matmuls
+    per step instead of 27 shallow ones. Blocking W (not just H) is what
+    buys hb >= 4: v2 kept full-width windows plus per-dw rotation buffers,
+    whose VMEM forced hb=1 — single-row M=Wp matmuls at K=C were
+    per-issue-overhead-bound (91-142 TOP/s). The wcat build costs
+    ~3x(hb+2)/(9*hb) VPU-copied bytes per MXU flop, MXU-dominated from
+    hb ~ 6."""
     t = pl.program_id(0)
     hblk = pl.program_id(1)
-    co = pl.program_id(2)
-    step = t * n_h + hblk
+    wblk = pl.program_id(2)
+    co = pl.program_id(3)
+    step = (t * n_h + hblk) * n_w + wblk
     slot = jax.lax.rem(step, 2)
 
     def start_copy(s, slot_idx):
-        ts = s // n_h
-        hs = jax.lax.rem(s, n_h)
+        ts = s // (n_h * n_w)
+        rem = jax.lax.rem(s, n_h * n_w)
+        hs = rem // n_w
+        ws = jax.lax.rem(rem, n_w)
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(ts, 3), pl.ds(hs * hb, hb + 2)],
+            x_hbm.at[pl.ds(ts, 3), pl.ds(hs * hb, hb + 2),
+                     pl.ds(ws * wb, wq)],
             win.at[slot_idx], sem.at[slot_idx]).start()
 
     @pl.when(co == 0)
@@ -67,32 +83,34 @@ def _conv_kernel(xs_ref, x_hbm, w_ref, ws_ref, o_ref, acc, win, rot1, rot2,
             start_copy(step + 1, jax.lax.rem(step + 1, 2))
 
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(t, 3), pl.ds(hblk * hb, hb + 2)],
+            x_hbm.at[pl.ds(t, 3), pl.ds(hblk * hb, hb + 2),
+                     pl.ds(wblk * wb, wq)],
             win.at[slot], sem.at[slot]).wait()
 
-        def shift_w(k):
-            # x[j+k] at col j (sublane shuffle, hoisted once per window)
-            vals = win[slot]
-            pad = jnp.zeros_like(vals[:, :, :k])
-            return jnp.concatenate([vals[:, :, k:], pad], axis=2)
-
-        rot1[:] = shift_w(1)
-        rot2[:] = shift_w(2)
-
     res = jnp.zeros_like(acc)
-    wins = (win[slot], rot1[:], rot2[:])
     for dt in range(3):
+        # rebuilt per (dt, co): wcat holds one dt-frame; the rebuild for
+        # co > 0 (Co=512 stage only) is VPU copies, small next to the
+        # 9 deep matmuls it feeds. Shifted slabs are written with offset
+        # stores (no jnp.concatenate: its stack temporaries tipped the
+        # 16 MB scoped-vmem limit at the C=128 full-res stage).
+        frame = win[slot, dt]                              # (hb+2, wq, C)
+        wcat[:, :, :C] = frame
+        wcat[:, :wq - 1, C:2 * C] = frame[:, 1:]
+        wcat[:, wq - 1:, C:2 * C] = jnp.zeros_like(frame[:, :1])
+        wcat[:, :wq - 2, 2 * C:] = frame[:, 2:]
+        wcat[:, wq - 2:, 2 * C:] = jnp.zeros_like(frame[:, :2])
+
         for dh in range(3):
-            for dw in range(3):
-                a = wins[dw][dt, dh:dh + hb].reshape(hb * Wp, C)
-                res = res + jax.lax.dot_general(
-                    a, w_ref[dt * 9 + dh * 3 + dw],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+            a = wcat[dh:dh + hb].reshape(hb * wq, 3 * C)
+            res = res + jax.lax.dot_general(
+                a, w_ref[dt * 3 + dh],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
 
     scale = xs_ref[t] * ws_ref[0, :]                       # (cob,)
     out = res.astype(jnp.float32) * scale[None, :]
-    o_ref[0] = out.reshape(hb, Wp, cob)[:, :W].astype(o_ref.dtype)
+    o_ref[0] = out.reshape(hb, wq, cob)[:, :wb].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("hb", "cob", "interpret"))
@@ -123,23 +141,60 @@ def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
         y = y * x_scales[:, None, None, None] * w_scales[None, None, None, :]
         return y.astype(jnp.bfloat16)
-    while H % hb:
-        hb //= 2
-    hb = max(hb, 1)
-    # 4 window-sized buffers (2 DMA slots + 2 rotations) dominate VMEM;
-    # keep them under ~6 MB so double-buffered w/out blocks + acc fit
-    # the 16 MB scoped budget
-    while hb > 1 and 4 * 3 * (hb + 2) * Wp * C > 6_000_000:
-        hb //= 2
-        while H % hb:
-            hb //= 2
     while Co % cob:
         cob //= 2
 
-    kernel = functools.partial(_conv_kernel, hb=hb, W=W, Wp=Wp, C=C,
-                               cob=cob, n_h=H // hb,
-                               n_steps=T * (H // hb))
-    grid = (T, H // hb, Co // cob)
+    def vmem_bytes(hb_, wb_):
+        # win slots + wcat + slab temporaries (~3 windows) + int32 acc
+        # + double-buffered weights and output block. Calibrated against
+        # Mosaic's reported scoped allocations (~1.2x this estimate).
+        wq_ = wb_ + _SUBLANE
+        return ((2 * 3 + 3 + 3) * (hb_ + 2) * wq_ * C
+                + hb_ * wq_ * cob * 4 + 2 * 9 * 3 * C * cob
+                + 2 * hb_ * wb_ * cob * 2)
+
+    def pick_blocks():
+        # maximize modeled throughput over (hb, wb) pairs that fit VMEM:
+        # useful-work fraction wb/(wb+32) (halo-extended columns are
+        # computed and discarded) x a serialized MXU+VPU step-cost model
+        # (the wcat build is VPU copies: ~9(hb+2)wq*C bytes per co-block
+        # against 27*hb*wq*C*cob*2 MXU flops)
+        best, best_score = (1, _SUBLANE), -1.0
+        for h_try in (16, 8, 4, 2, 1):
+            if H % h_try:
+                continue
+            for wb_try in range(((Wp + _SUBLANE - 1) // _SUBLANE)
+                                * _SUBLANE, 0, -_SUBLANE):
+                if vmem_bytes(h_try, wb_try) > 12_000_000:
+                    continue
+                wq_ = wb_try + _SUBLANE
+                mxu_s = 27 * h_try * wq_ * C * cob * 2 / 394e12
+                vpu_s = 9 * (h_try + 2) * wq_ * C / 1.33e12
+                score = (min(wb_try, Wp) / wq_) * (h_try * wq_) \
+                    / ((mxu_s + vpu_s) * 1e12)
+                if score > best_score:
+                    best, best_score = (h_try, wb_try), score
+                break  # widest fitting wb for this hb is near-optimal
+        return best
+
+    hb, wb = pick_blocks()
+    n_h = H // hb
+    n_w = -(-Wp // wb)
+    wq = wb + _SUBLANE
+
+    # zero-pad so every column block's window read (offset j*wb, extent
+    # wb+32) stays in bounds; trailing blocks compute discarded columns
+    xq = jnp.pad(x_ext, ((0, 0), (0, 0),
+                         (0, n_w * wb + _SUBLANE - Wp), (0, 0)))
+
+    # (27, C, Co) -> (9, 3C, cob-blocked): the dw taps are adjacent on the
+    # contraction axis, matching wcat's [x, x<<1, x<<2] lane concatenation
+    w9 = w.reshape(3, 3, 3 * C, Co).reshape(9, 3 * C, Co)
+
+    kernel = functools.partial(_conv_kernel, hb=hb, wb=wb, wq=wq, C=C,
+                               cob=cob, n_h=n_h, n_w=n_w,
+                               n_steps=T * n_h * n_w)
+    grid = (T, n_h, n_w, Co // cob)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -147,24 +202,25 @@ def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
-                pl.BlockSpec((27, C, cob), lambda t, h, co, xs: (0, 0, co),
+                pl.BlockSpec((9, 3 * C, cob),
+                             lambda t, h, j, co, xs: (0, 0, co),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cob), lambda t, h, co, xs: (0, co),
+                pl.BlockSpec((1, cob), lambda t, h, j, co, xs: (0, co),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, hb, W, cob),
-                                   lambda t, h, co, xs: (t, h, 0, co)),
+            out_specs=pl.BlockSpec((1, hb, wb, cob),
+                                   lambda t, h, j, co, xs: (t, h, j, co)),
             scratch_shapes=[
-                pltpu.VMEM((hb * Wp, cob), jnp.int32),
-                pltpu.VMEM((2, 3, hb + 2, Wp, C), jnp.int8),
-                pltpu.VMEM((3, hb + 2, Wp, C), jnp.int8),
-                pltpu.VMEM((3, hb + 2, Wp, C), jnp.int8),
+                pltpu.VMEM((hb * wq, cob), jnp.int32),
+                pltpu.VMEM((2, 3, hb + 2, wq, C), jnp.int8),
+                pltpu.VMEM((hb + 2, wq, 3 * C), jnp.int8),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((T, H, W, Co), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((T, H, n_w * wb, Co), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
+                                 "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * H * W * C * Co * 27,
@@ -172,18 +228,15 @@ def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_scales, x_ext, w, w_scales.reshape(1, Co))
-    return out
+    )(x_scales, xq, w9, w_scales.reshape(1, Co))
+    return out[:, :, :W]
 
 
 def int8_conv_viable(ci: int, co: int, w: int) -> bool:
-    """Whether the kernel's VMEM budget closes for this conv shape: channel
-    dims lane-tileable, and the 4 window buffers fit at hb=1 with room for
-    the double-buffered weight blocks + accumulator."""
-    if ci % 128 or co % 128:
-        return False
-    wp = _round_up(w + 2, _SUBLANE)
-    return 4 * 3 * 3 * wp * ci <= 7_000_000
+    """Whether the kernel can serve this conv shape. The 2D (hb, wb)
+    block search scales the window down to any width, so the only hard
+    requirements are MXU-lane-tileable channel dims."""
+    return ci % 128 == 0 and co % 128 == 0 and w >= 2
 
 
 def quantize_conv_weight(w: jnp.ndarray):

@@ -58,16 +58,16 @@ def main():
         cfg = (VAE_V3 if mode == "bf16"
                else dataclasses.replace(VAE_V3, conv_quant="int8"))
         vae = VideoVAE(params, cfg)
-        out = vae._dec_first_only(params, z)   # compile + warm
+        out = vae._dec_first_only(vae.params, z)   # compile + warm
         _force(out)
         t0 = time.perf_counter()
         for i in range(args.iters):
             zi = jax.random.normal(jax.random.fold_in(key, 100 + i),
                                    z.shape, jnp.bfloat16)
-            _force(vae._dec_first_only(params, zi))
+            _force(vae._dec_first_only(vae.params, zi))
         dt = (time.perf_counter() - t0) / args.iters
         results[f"tile_{mode}_s"] = round(dt, 4)
-        outs[mode] = np.asarray(vae._dec_first_only(params, z), np.float32)
+        outs[mode] = np.asarray(vae._dec_first_only(vae.params, z), np.float32)
         print(f"[tile] {mode}: {dt:.3f} s/tile", flush=True)
 
     a, b = outs["bf16"], outs["int8"]
