@@ -296,9 +296,12 @@ def phase_decode(p):
 CORE = ("encode", "dit", "decode")
 PHASES = {"encode": phase_encode, "dit": phase_dit, "decode": phase_decode,
           "dit_w8a8": phase_dit_w8a8, "dit_7b_q8": phase_dit_7b_q8}
-# rough per-phase wall cost (compile + session already warm) used only to
-# decide whether an OPTIONAL lane still fits the budget; lanes can also be
-# trimmed explicitly via BENCH_LANES (comma list, "" = core phases only)
+# rough per-lane wall cost (warm compile cache) used only to decide
+# whether an OPTIONAL lane still fits the budget; lanes can also be
+# trimmed explicitly via BENCH_LANES (comma list, "" = core phases only).
+# w8a8: on-device weight quantize + cached step executable (~4 min);
+# 7B q8: 36-block on-device init/quantize + q8 step (~11 min warm).
+_EST_LANE_S = {"dit_w8a8": 250.0, "dit_7b_q8": 650.0}
 _EST_PHASE_S = 600.0
 
 
@@ -372,7 +375,7 @@ def main():
         _emit(times)
 
     for lane in _lanes():
-        if _elapsed() + _EST_PHASE_S > _budget():
+        if _elapsed() + _EST_LANE_S.get(lane, _EST_PHASE_S) > _budget():
             _note(f"lane {lane}: skipped (budget: {_elapsed():.0f}s of "
                   f"{_budget():.0f}s spent)")
             continue

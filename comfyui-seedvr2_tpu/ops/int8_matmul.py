@@ -215,9 +215,21 @@ def quantize_activations(x: jnp.ndarray):
 
 
 def quantize_weight_w8a8(w):
-    """(K, N) float kernel -> ((K, N) i8, (N,) f32 per-channel scales)."""
+    """(K, N) float kernel -> ((K, N) i8, (N,) f32 per-channel scales).
+
+    Device-resident jax Arrays quantize ON DEVICE with jnp (lazy, no
+    transfer); anything else (checkpoint tensors on host) goes through
+    numpy so loading uploads the int8 tree — half the bytes of bf16 —
+    instead of round-tripping float weights. Through the dev tunnel
+    (15-30 MB/s) the wrong choice costs minutes per model."""
     import numpy as np
 
+    if isinstance(w, jnp.ndarray) and not isinstance(w, np.ndarray):
+        w32 = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(w32), axis=0)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w32 / scale[None, :]), -127, 127)
+        return q.astype(jnp.int8), scale
     w = np.asarray(w, np.float32)
     amax = np.abs(w).max(axis=0)
     scale = np.maximum(amax, 1e-8) / 127.0
@@ -239,7 +251,7 @@ def quantize_dit_params_w8a8(params: dict, min_dim: int = 1024) -> dict:
         if isinstance(node, dict):
             w = None
             if "w" in node and getattr(node["w"], "ndim", 0) == 2:
-                w = np.asarray(node["w"], np.float32)
+                w = node["w"]  # stays device-side if it is a jax Array
             elif "q8" in node:
                 w = np.asarray(dequantize_q8(node["q8"], node["scales"]),
                                np.float32)
