@@ -369,8 +369,14 @@ def main():
     times = {}
     for ph in CORE:
         _note(f"phase {ph}: starting")
-        times[ph] = PHASES[ph](p)
-        _note(f"phase {ph}: {times[ph]:.3f} s/iter")
+        try:
+            times[ph] = PHASES[ph](p)
+            _note(f"phase {ph}: {times[ph]:.3f} s/iter")
+        except Exception as exc:  # noqa: BLE001 — always leave a JSON line
+            _note(f"phase {ph} FAILED: {exc!r}")
+            _sweep()
+            _emit(times)
+            continue
         _sweep()
         _emit(times)
 
