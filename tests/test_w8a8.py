@@ -132,3 +132,15 @@ def test_w8a8_linear_close_to_float():
     # int8 x int8 keeps ~1% relative error on gaussian data
     denom = np.abs(ref).mean()
     assert np.abs(got - ref).mean() / denom < 0.02
+
+
+def test_quantize_weight_device_and_host_paths_agree():
+    """quantize_weight_w8a8 takes the jnp path for device-resident arrays
+    (no transfer through the tunnel) and numpy for host tensors — both
+    must produce identical int8/scale pairs."""
+    rng = np.random.default_rng(3)
+    w_host = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
+    qh, sh = quantize_weight_w8a8(w_host)
+    qd, sd = quantize_weight_w8a8(jnp.asarray(w_host))
+    np.testing.assert_array_equal(np.asarray(qd), qh)
+    np.testing.assert_allclose(np.asarray(sd), sh, rtol=1e-6)
