@@ -148,3 +148,30 @@ def test_quantize_conv_weight_roundtrip():
     back = np.asarray(q, np.float32) * np.asarray(s)
     ref = np.asarray(w).reshape(27, 8, 16)
     assert np.abs(back - ref).max() / np.abs(ref).max() < 0.01
+
+
+def test_int8_conv3d_multi_column_block():
+    """C=512 at W=286 forces the 2D grid's column split (n_w=2 with halo
+    padding): checks the wb-block DMA offsets, the zero halo columns and
+    the discarded padded output columns against the fp32 reference."""
+    rng = np.random.default_rng(5)
+    T, H, W, C, Co = 1, 4, 286, 512, 512
+    Wp = 288
+    x_ext = jnp.asarray(rng.integers(-127, 128, (T + 2, H + 2, Wp, C)),
+                        jnp.int8)
+    wq = jnp.asarray(rng.integers(-8, 9, (27, C, Co)), jnp.int8)
+    xs = jnp.asarray(rng.uniform(0.01, 0.1, (T,)), jnp.float32)
+    ws = jnp.asarray(rng.uniform(0.01, 0.1, (Co,)), jnp.float32)
+
+    out = np.asarray(int8_conv3d(x_ext, wq, xs, ws, interpret=True),
+                     np.float32)
+
+    w5 = np.asarray(wq, np.float32).reshape(3, 3, 3, C, Co)
+    ref = np.asarray(_ref_conv(x_ext, jnp.asarray(w5)), np.float32)
+    ref = ref * np.asarray(xs)[:, None, None, None] * np.asarray(ws)
+    ref = np.asarray(jnp.asarray(ref).astype(jnp.bfloat16), np.float32)
+    assert out.shape == (T, H, Wp - 2, Co)
+    # bf16 one-ulp tolerance: the kernel applies res * (xs*ws) while the
+    # reference multiplies the two f32 scales separately; values on a bf16
+    # rounding boundary can round apart (~1e-5 of elements)
+    np.testing.assert_allclose(out, ref, rtol=8e-3, atol=1e-4)
