@@ -58,7 +58,13 @@ def main():
         cfg = (VAE_V3 if mode == "bf16"
                else dataclasses.replace(VAE_V3, conv_quant="int8"))
         vae = VideoVAE(params, cfg)
-        out = vae._dec_first_only(vae.params, z)   # compile + warm
+        try:
+            out = vae._dec_first_only(vae.params, z)   # compile + warm
+        except Exception as exc:  # OOM etc. — report and keep going
+            print(f"[tile] {mode}: FAILED {type(exc).__name__}: "
+                  f"{str(exc)[:160]}", flush=True)
+            results[f"tile_{mode}_s"] = None
+            continue
         _force(out)
         t0 = time.perf_counter()
         for i in range(args.iters):
@@ -70,6 +76,9 @@ def main():
         outs[mode] = np.asarray(vae._dec_first_only(vae.params, z), np.float32)
         print(f"[tile] {mode}: {dt:.3f} s/tile", flush=True)
 
+    if "bf16" not in outs or "int8" not in outs:
+        print(json.dumps(results), flush=True)
+        return
     a, b = outs["bf16"], outs["int8"]
     mse = float(np.mean((a - b) ** 2))
     rng = float(a.max() - a.min())
