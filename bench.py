@@ -49,6 +49,7 @@ as extra fields for continuity with BENCH_r01.
 import gc
 import json
 import os
+import signal
 import sys
 import time
 
@@ -312,7 +313,7 @@ def _lanes():
     return [x for x in env.split(",") if x]
 
 
-def _emit(times):
+def _emit(times, error=None):
     """Print the cumulative result line for the phases measured so far."""
     have = [ph for ph in CORE if ph in times]
     total = sum(times[ph] for ph in have)
@@ -349,24 +350,92 @@ def _emit(times):
         out["dit_7b_q8_frames_per_s"] = round(fps, 4)
         out["dit_7b_q8_vs_baseline"] = round(
             fps / A100_DIT_7B_BASELINE_FPS, 3)
-    print(json.dumps(out), flush=True)
+    if error is not None:
+        out["error"] = str(error)[:500]
+    line = json.dumps(out)
+    print(line, flush=True)
+    # Secondary artifact: the driver parses the last stdout line, which a
+    # truncated tail can lose — also persist the latest cumulative result
+    # to a file (atomic rename so a kill mid-write can't corrupt it).
+    path = os.environ.get(
+        "BENCH_RESULT_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_result.json"))
+    try:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.replace(tmp, path)
+    except OSError:
+        pass
     return out
 
 
-def main():
-    from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
+def _acquire_backend():
+    """Initialize the jax backend with retry/backoff.
 
-    enable_persistent_cache()
-    import jax
+    The axon dev tunnel serializes client sessions and takes 0.5-10 min
+    to reap a dead one, so a transient UNAVAILABLE at init is an EXPECTED
+    failure mode (it killed the round-2 and round-3 bench runs before a
+    single JSON line was printed). jax re-runs backend discovery when the
+    previous attempt left no live backend, so an in-process retry loop is
+    enough — no subprocess probe (which would itself burn a session).
 
-    p = _shapes(jax.default_backend() == "tpu")
+    Proves the session is actually usable with a tiny execute+fetch (the
+    only reliable barrier through the dev client) before returning.
+    """
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # Logic-testing escape hatch: the image's sitecustomize preloads
+        # jax before bench.py runs, so JAX_PLATFORMS is too late — force
+        # CPU via config (backend is still uninitialized here).
+        import jax
 
-    if len(sys.argv) > 1 and sys.argv[1] in PHASES:
-        t = PHASES[sys.argv[1]](p)
-        print(json.dumps({"phase": sys.argv[1], "seconds": t}), flush=True)
-        return
+        jax.config.update("jax_platform_name", "cpu")
+        jax.config.update("jax_platforms", "cpu")
+    retry_budget = min(600.0, 0.4 * _budget())
+    delay = 20.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            import jax
+            import jax.numpy as jnp
 
-    times = {}
+            backend = jax.default_backend()
+            float(jnp.mean(jnp.ones((2, 2), jnp.float32)))
+            if attempt > 1:
+                _note(f"backend '{backend}' up after {attempt} attempts")
+            return backend
+        except Exception as exc:  # noqa: BLE001 — retry transient init fails
+            if _elapsed() + delay > retry_budget:
+                raise
+            _note(f"backend init failed (attempt {attempt}): "
+                  f"{exc!r}; retrying in {delay:.0f}s")
+            try:
+                from jax._src import api as _japi
+
+                _japi.clear_backends()
+            except Exception:  # noqa: BLE001 — best-effort reset
+                pass
+            time.sleep(delay)
+            delay = min(delay * 1.6, 120.0)
+
+
+# Shared with the SIGTERM handler so a driver timeout still flushes a
+# final cumulative JSON line before the process dies.
+_TIMES: dict = {}
+
+
+def _on_term(signum, frame):  # noqa: ARG001
+    _note(f"signal {signum}: emitting final result line")
+    try:
+        _emit(_TIMES, error=f"terminated by signal {signum}")
+    finally:
+        os._exit(0)
+
+
+def _run_phases(p):
+    times = _TIMES
     for ph in CORE:
         _note(f"phase {ph}: starting")
         try:
@@ -375,7 +444,7 @@ def main():
         except Exception as exc:  # noqa: BLE001 — always leave a JSON line
             _note(f"phase {ph} FAILED: {exc!r}")
             _sweep()
-            _emit(times)
+            _emit(times, error=f"phase {ph}: {exc!r}")
             continue
         _sweep()
         _emit(times)
@@ -393,6 +462,62 @@ def main():
             _note(f"lane {lane} FAILED: {exc!r}")
         _sweep()
         _emit(times)
+
+
+def _watchdog():
+    """Self-terminate with a final JSON line if the main thread wedges.
+
+    A tunnel stall blocks the main thread inside a C++ RPC, where neither
+    Python exceptions nor the SIGTERM handler can run (signal handlers
+    only fire between bytecodes). A daemon thread can still print and
+    os._exit — so past the budget (+ grace for a last in-flight phase),
+    emit whatever was measured and leave rc=0 instead of letting the
+    driver's timeout produce `parsed: null`."""
+    import threading
+
+    deadline = 1.05 * _budget() + 120.0
+
+    def run():
+        while True:
+            time.sleep(15.0)
+            if _elapsed() > deadline:
+                _note(f"watchdog: {_elapsed():.0f}s > {deadline:.0f}s "
+                      "deadline, emitting and exiting")
+                try:
+                    _emit(_TIMES, error="watchdog timeout (main thread "
+                                        "wedged past budget)")
+                finally:
+                    os._exit(0)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
+
+
+def main():
+    """Never exits non-zero, never ends without a parseable JSON line on
+    stdout: backend init retries with backoff (transient tunnel outages
+    are expected), a watchdog thread breaks RPC wedges, and ANY uncaught
+    failure still emits a final cumulative result with an "error" field."""
+    signal.signal(signal.SIGTERM, _on_term)
+    _watchdog()
+    try:
+        from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        p = _shapes(_acquire_backend() == "tpu")
+
+        if len(sys.argv) > 1 and sys.argv[1] in PHASES:
+            t = PHASES[sys.argv[1]](p)
+            print(json.dumps({"phase": sys.argv[1], "seconds": t}),
+                  flush=True)
+            return
+
+        _run_phases(p)
+    except BaseException as exc:  # noqa: BLE001 — the contract is a JSON line
+        if isinstance(exc, SystemExit) and not exc.code:
+            raise
+        _note(f"FATAL: {exc!r}")
+        _emit(_TIMES, error=repr(exc))
+        sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,11 @@ def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
         layout via quant_matmul_affine (no requantization error; Q8_0
         tensors still use the q8 kernel). Non-GGUF checkpoints fall back
         to q8 post-training quantization.
+      - quant="q4": post-training 4-bit affine quantization of ANY float
+        checkpoint to the same serving layout as q4k (per-32-group
+        scale/min, quant_matmul_affine) — halves q8's weight HBM at a
+        measured whole-pipeline cost (~51 dB vs fp32 oracle,
+        tests/test_pipeline_oracle.py floors).
 
     on_host=True leaves the param tree in host RAM (for the BlockSwap
     streaming path, ops/offload.py)."""
@@ -88,7 +93,7 @@ def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
         from ..ops.gguf import load_gguf_state_dict
 
         state = load_gguf_state_dict(
-            path, keep_q8=quant in ("q8", "q4k", "w8a8"),
+            path, keep_q8=quant in ("q8", "q4k", "q4", "w8a8"),
             native_kquants=quant == "q4k")
     elif path.endswith((".pth", ".pt")):
         import torch
@@ -112,6 +117,10 @@ def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
             from ..ops.int8_matmul import quantize_dit_params_w8a8
 
             params = quantize_dit_params_w8a8(params)
+        elif quant == "q4" and not path.endswith(".gguf"):
+            from ..ops.quant_matmul import quantize_dit_params_affine4
+
+            params = quantize_dit_params_affine4(params)
         elif quant in ("q8", "q4k") and not path.endswith(".gguf"):
             from ..ops.quant_matmul import quantize_dit_params
 

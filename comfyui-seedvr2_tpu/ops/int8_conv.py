@@ -201,7 +201,7 @@ def int8_conv3d(x_ext: jnp.ndarray, w: jnp.ndarray, x_scales: jnp.ndarray,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),         # x stays in HBM
                 pl.BlockSpec((9, 3 * C, cob),
                              lambda t, h, j, co, xs: (0, 0, co),
                              memory_space=pltpu.VMEM),

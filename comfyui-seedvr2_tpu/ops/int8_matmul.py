@@ -237,9 +237,11 @@ def quantize_weight_w8a8(w):
     return q, scale.astype(np.float32)
 
 
-def quantize_dit_params_w8a8(params: dict, min_dim: int = 1024) -> dict:
+def quantize_dit_params_w8a8(params: dict, min_dim: int = 1024,
+                             align: int = 256) -> dict:
     """Post-training w8a8 conversion of a DiT parameter tree: every linear
-    "w" with both dims >= min_dim (and lane-tileable) becomes
+    "w" with both dims >= min_dim (and lane-tileable: K and N multiples of
+    `align`, the v5e int8 tile; tests shrink it with tiny configs) becomes
     {"w8a8": (K, N) i8, "ws": (N,) f32}. Small/IO projections stay dense,
     like the published GGUF checkpoints. Q8_0 trees ({"q8", "scales"}) are
     requantized per-channel (block scales folded in first)."""
@@ -257,7 +259,7 @@ def quantize_dit_params_w8a8(params: dict, min_dim: int = 1024) -> dict:
                                np.float32)
             if w is not None:
                 k, n = w.shape
-                if min(k, n) >= min_dim and k % 256 == 0 and n % 256 == 0:
+                if min(k, n) >= min_dim and k % align == 0 and n % align == 0:
                     q, s = quantize_weight_w8a8(w)
                     out = {"w8a8": jnp.asarray(q), "ws": jnp.asarray(s)}
                     if "b" in node:

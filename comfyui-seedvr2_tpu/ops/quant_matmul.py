@@ -224,6 +224,51 @@ def dequantize_q8(q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
             * scales[:, None, :]).reshape(k, n)
 
 
+def quantize_affine4(w: jnp.ndarray):
+    """Weight (K, N) -> 4-bit affine serving layout (q int8 (K, N) in
+    [0, 15], s f32 (K//32, N), m f32 (K//32, N)) with w ~= q*s - m per
+    32-group along K — the same layout GGUF Q4_K lands in at load
+    (loader.py native_kquants), so PTQ int4 trees serve through the
+    identical `quant_matmul_affine` kernel. Matches the K-quant grid
+    itself but not the reference Q4_K's additional 6-bit scale/min
+    quantization (gguf_dequant.py Q4_K), so this bounds the affine
+    SERVING path's error, slightly tighter than a real Q4_K file."""
+    k, n = w.shape
+    w32 = jnp.asarray(w, jnp.float32).reshape(k // GROUP, GROUP, n)
+    mn = jnp.min(w32, axis=1)
+    mx = jnp.max(w32, axis=1)
+    s = (mx - mn) / 15.0
+    inv = jnp.where(s > 0, 1.0 / s, 0.0)
+    q = jnp.clip(jnp.round((w32 - mn[:, None, :]) * inv[:, None, :]),
+                 0, 15).astype(jnp.int8)
+    return q.reshape(k, n), s, -mn
+
+
+def quantize_dit_params_affine4(params: dict, min_dim: int = 1024) -> dict:
+    """Post-training 4-bit affine quantization of a DiT parameter tree:
+    every linear "w" with both dims >= min_dim becomes {"qa", "s", "m"}
+    (the native K-quant serving format, affine_quant_linear). Small/IO
+    projections stay dense, mirroring the published GGUF checkpoints."""
+
+    def convert(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 2:
+                w = node["w"]
+                k, n = w.shape
+                if min(k, n) >= min_dim and k % GROUP == 0:
+                    qa, s, m = quantize_affine4(w)
+                    out = {"qa": qa, "s": s, "m": m}
+                    if "b" in node:
+                        out["b"] = node["b"]
+                    return out
+            return {k: convert(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [convert(v) for v in node]
+        return node
+
+    return convert(params)
+
+
 def quantize_dit_params(params: dict, min_dim: int = 1024) -> dict:
     """Post-training Q8_0 quantization of a DiT parameter tree: every linear
     "w" with both dims >= min_dim becomes {"q8", "scales"} (the fused-kernel

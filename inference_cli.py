@@ -110,12 +110,15 @@ def parse_arguments():
                            "$JAX_COORDINATOR_ADDRESS); optional — the "
                            "file-based fan-out needs only a shared path")
     perf.add_argument("--quant", type=str, default="none",
-                      choices=["none", "q8", "q4k", "w8a8"],
+                      choices=["none", "q8", "q4k", "q4", "w8a8"],
                       help="DiT serving quantization: q8 = int8 weights + "
                            "fused dequant matmul (GGUF checkpoints keep "
                            "their Q8_0 blocks); q4k = GGUF K-quants serve "
                            "in their native affine layout (no requant "
-                           "error); w8a8 = int8 weights AND per-token int8 "
+                           "error); q4 = post-training 4-bit affine "
+                           "quantization of any float checkpoint (same "
+                           "serving kernel as q4k, half of q8's weight "
+                           "HBM); w8a8 = int8 weights AND per-token int8 "
                            "activations on the int8 MXU")
     perf.add_argument("--vae_quant", type=str, default="none",
                       choices=["none", "int8"],
@@ -174,6 +177,17 @@ def parse_arguments():
         p.error("--temporal_overlap must be smaller than --chunk_size")
     if args.seed < 0:
         p.error("--seed must be >= 0")
+    # Flags accepted for reference API compatibility that have no effect
+    # on TPU (everything is jit-compiled; IO params always stay in HBM,
+    # reference blockswap.py:459-536): warn once when actually passed.
+    noops = [f"--{n}" for n in
+             ("compile_dit", "compile_vae", "swap_io_components")
+             if getattr(args, n)]
+    if noops:
+        print(f"[seedvr2-tpu] note: {', '.join(noops)} accepted for API "
+              "compatibility but a no-op on TPU (models are always "
+              "jit-compiled; IO params always stay in HBM)",
+              file=sys.stderr, flush=True)
     return args
 
 

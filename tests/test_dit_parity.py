@@ -19,29 +19,37 @@ from seedvr2_tpu.models.dit.nadit import build_dit_plan, nadit_forward
 from .oracle_ref import load_reference_src
 
 
-def _make_pair_3b(T=3, H=8, W=10, txt_len=7, seed=0):
+def _make_pair_3b(T=3, H=8, W=10, txt_len=7, seed=0, vid_dim=24,
+                  head_dim=12):
+    """Tiny seeded reference NaDiT + our config/params on the same weights.
+
+    vid_dim/head_dim are parameterizable so quantization tests can use
+    32-aligned dims (Q8_0/affine grouping is per 32 along K) while the
+    default parity shapes stay as cheap as possible."""
     load_reference_src()
     import importlib
 
     nadit_mod = importlib.import_module("refsrc.models.dit_3b.nadit")
     torch.manual_seed(seed)
     ref = nadit_mod.NaDiT(
-        vid_in_channels=9, vid_out_channels=4, vid_dim=24, txt_in_dim=16,
-        txt_dim=24, emb_dim=144, heads=2, head_dim=12, expand_ratio=4,
+        vid_in_channels=9, vid_out_channels=4, vid_dim=vid_dim,
+        txt_in_dim=16, txt_dim=vid_dim, emb_dim=6 * vid_dim, heads=2,
+        head_dim=head_dim, expand_ratio=4,
         norm="fusedrms", norm_eps=1e-5, ada="single", qk_bias=False,
         qk_norm="fusedrms", patch_size=(1, 2, 2), num_layers=2,
         block_type="mmdit_sr", mm_layers=1, mlp_type="swiglu",
-        rope_type="mmrope3d", rope_dim=12, window=(2, 2, 2),
+        rope_type="mmrope3d", rope_dim=head_dim, window=(2, 2, 2),
         window_method=["720pwin_by_size_bysize", "720pswin_by_size_bysize"],
         vid_out_norm="fusedrms", txt_in_norm=None,
     ).float().eval()
 
     cfg = DiTConfig(
-        family="dit_3b", vid_in_channels=9, vid_out_channels=4, vid_dim=24,
-        txt_in_dim=16, heads=2, head_dim=12, expand_ratio=4, norm_eps=1e-5,
+        family="dit_3b", vid_in_channels=9, vid_out_channels=4,
+        vid_dim=vid_dim, txt_in_dim=16, heads=2, head_dim=head_dim,
+        expand_ratio=4, norm_eps=1e-5,
         qk_bias=False, patch_size=(1, 2, 2), num_layers=2, mm_layers=1,
         mlp_type="swiglu", window=(2, 2, 2), rope_type="mmrope3d",
-        rope_dim=12, vid_out_norm=True,
+        rope_dim=head_dim, vid_out_norm=True,
     )
     params = torch_module_to_params(ref, dtype=jnp.float32)
     return ref, cfg, params

@@ -229,3 +229,83 @@ def test_whole_pipeline_matches_reference(models, tcase):
     # orchestration bug (a mis-ordered blend or off-by-one pad craters
     # PSNR to <25 dB)
     assert psnr > 60.0, f"whole-pipeline PSNR vs reference: {psnr:.1f} dB"
+
+
+# ---------------------------------------------------------------------------
+# Quantized serving lanes vs the fp32 oracle (VERDICT r3 #3): every lane the
+# CLI exposes (--quant w8a8/q8/q4k) gets an explicit whole-pipeline PSNR
+# floor against the reference fp32 output. The CPU emulation of each quant
+# matmul is numerically exact (dense dequant / int32 accumulation), so
+# these floors measure QUANTIZATION error, not kernel error (kernel==
+# emulation is pinned separately in test_w8a8/test_quant_matmul). The
+# floors are the accept/reject contract that real-weight validation
+# inherits (docs/parity.md).
+# ---------------------------------------------------------------------------
+
+# Measured on the tiny 32-dim config (per-matmul relative error on random
+# weights is scale-free, so tiny-config pipeline PSNR is representative of
+# where each lane's error saturates the output): w8a8 75.7 dB, q8 76.7 dB,
+# q4 affine 50.6 dB. Floors leave ~6 dB slack for RNG/platform drift; a
+# broken lane (wrong scale placement, off-by-one group) lands <25 dB.
+QUANT_PSNR_FLOORS_DB = {"w8a8": 69.0, "q8": 70.0, "q4": 44.0}
+
+
+def _quantize_lane(dit_params, lane):
+    if lane == "w8a8":
+        from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
+
+        return quantize_dit_params_w8a8(dit_params, min_dim=32, align=32)
+    if lane == "q8":
+        from seedvr2_tpu.ops.quant_matmul import quantize_dit_params
+
+        return quantize_dit_params(dit_params, min_dim=32)
+    if lane == "q4":
+        from seedvr2_tpu.ops.quant_matmul import quantize_dit_params_affine4
+
+        return quantize_dit_params_affine4(dit_params, min_dim=32)
+    raise ValueError(lane)
+
+
+@pytest.fixture(scope="module")
+def qoracle():
+    """fp32 oracle pipeline output on a 32-aligned tiny config (Q8_0/affine
+    grouping is per 32 along K — the 24-dim parity config quantizes
+    nothing), shared across the three lane tests."""
+    ref_dit, dit_cfg, dit_params = _make_pair_3b(vid_dim=32, head_dim=16)
+    ref_vae, vae = _make_vae_pair()
+    rng = np.random.default_rng(11)
+    text = rng.standard_normal((7, TXT_IN)).astype(np.float32) * 0.2
+    frames = np.clip(
+        0.5 + 0.25 * rng.standard_normal((5, 20, 28, 3)),
+        0.0, 1.0).astype(np.float32)
+    out_ref, ref_noise = _run_reference(
+        ref_dit, ref_vae, frames,
+        torch.from_numpy(text), torch.from_numpy(text),
+        batch_size=5, temporal_overlap=0, resolution=32,
+        prepend_frames=0, color_correction="wavelet")
+    return dict(dit_cfg=dit_cfg, dit_params=dit_params, vae=vae, text=text,
+                frames=frames, out_ref=out_ref, ref_noise=ref_noise)
+
+
+@pytest.mark.parametrize("lane", sorted(QUANT_PSNR_FLOORS_DB))
+def test_quantized_pipeline_psnr_floor(qoracle, lane):
+    qparams = _quantize_lane(qoracle["dit_params"], lane)
+    # the conversion must actually quantize the big projections, or the
+    # gate is vacuous
+    import jax
+
+    flat = jax.tree.leaves(qparams)
+    n_int8 = sum(getattr(leaf, "dtype", None) == jnp.int8 for leaf in flat)
+    assert n_int8 >= 4, f"{lane}: conversion quantized only {n_int8} leaves"
+
+    out_q = _run_ours(
+        qoracle["dit_cfg"], qparams, qoracle["vae"], qoracle["frames"],
+        qoracle["text"], qoracle["text"],
+        batch_size=5, temporal_overlap=0, resolution=32, prepend_frames=0,
+        color_correction="wavelet", noise_override=qoracle["ref_noise"])
+
+    psnr = _psnr(qoracle["out_ref"], out_q)
+    floor = QUANT_PSNR_FLOORS_DB[lane]
+    assert psnr >= floor, (
+        f"--quant {lane} whole-pipeline PSNR vs fp32 oracle: "
+        f"{psnr:.1f} dB < floor {floor} dB")
