@@ -294,22 +294,115 @@ def phase_decode(p):
         _delete_tree(vae.params)
 
 
+def phase_dp_scaling(p):
+    """Multi-chip data-parallel scaling (BASELINE configs[4]): per-item
+    VAE decode waves and DiT batch inference, sequential vs dp-sharded
+    over all devices. Runs only when >1 device is visible — the runnable
+    artifact behind the "~linear to N chips" claim the day multi-chip
+    hardware exists (on one chip it reports skipped=True cleanly). Host-
+    side wave-orchestration overhead is measured separately on the 8-dev
+    CPU mesh (tools/wave_overhead.py, docs/performance.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(jax.devices())
+    if n < 2:
+        _note("dp_scaling: skipped (single device)")
+        return None
+
+    from seedvr2_tpu.core.configs import RunnerConfig
+    from seedvr2_tpu.core.runner import VideoDiffusionRunner
+    from seedvr2_tpu.models.dit.nadit import init_dit_params
+    from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE, init_vae_params
+    from seedvr2_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n, axis_names=("dp",))
+    key = jax.random.PRNGKey(0)
+    cfg = p["dit_cfg"]
+    lat_c = p["vae_cfg"].latent_channels
+    # per-item shapes sized so an UNTILED decode fits one chip (each dp
+    # rank owns whole items; tiling is the orthogonal, single-item axis)
+    lh, lw = max(p["lh"] // 4, 2), max(p["lw"] // 4, 2)
+    dh, dw = max(p["lh"] // 2, 2), max(p["lw"] // 2, 2)
+
+    vae = VideoVAE(init_vae_params(jax.random.fold_in(key, 9), p["vae_cfg"],
+                                   dtype=jnp.bfloat16), p["vae_cfg"])
+    params = init_dit_params(key, cfg, dtype=jnp.bfloat16)
+    txt = jax.random.normal(jax.random.fold_in(key, 3),
+                            (p["txt_len"], cfg.txt_in_dim), jnp.bfloat16)
+
+    def runners():
+        seq = VideoDiffusionRunner(params, cfg, vae=vae,
+                                   config=RunnerConfig(dit=cfg,
+                                                       vae=p["vae_cfg"]))
+        par = VideoDiffusionRunner(params, cfg, vae=vae,
+                                   config=RunnerConfig(dit=cfg,
+                                                       vae=p["vae_cfg"]))
+        par.attach_mesh(mesh)
+        return seq, par
+
+    seq, par = runners()
+    lats = [jax.random.normal(jax.random.fold_in(key, 100 + i),
+                              (p["lt"], lh, lw, lat_c), jnp.bfloat16)
+            for i in range(n)]
+
+    def run_decode(r):
+        def f(i):
+            _force(r.vae_decode([x + i for x in lats])[-1])
+        return f
+
+    t_dec_seq = _timed(run_decode(seq), 1)
+    t_dec_dp = _timed(run_decode(par), 1)
+
+    noises = [jax.random.normal(jax.random.fold_in(key, 200 + i),
+                                (p["lt"], dh, dw, cfg.vid_out_channels),
+                                jnp.bfloat16) for i in range(n)]
+
+    def run_dit(r):
+        conds = [r.get_condition(z, z) for z in noises]
+
+        def f(i):
+            _force(r.inference(
+                noises=[z + i for z in noises], conditions=conds,
+                texts_pos=[txt] * n, texts_neg=[txt] * n,
+                cfg_scale=1.0, steps=1)[-1])
+        return f
+
+    t_dit_seq = _timed(run_dit(seq), 1)
+    t_dit_dp = _timed(run_dit(par), 1)
+    try:
+        return {
+            "devices": n,
+            "items": n,
+            "vae_decode_seq_s": round(t_dec_seq, 3),
+            "vae_decode_dp_s": round(t_dec_dp, 3),
+            "vae_wave_speedup": round(t_dec_seq / t_dec_dp, 2),
+            "dit_seq_s": round(t_dit_seq, 3),
+            "dit_dp_s": round(t_dit_dp, 3),
+            "dit_dp_speedup": round(t_dit_seq / t_dit_dp, 2),
+        }
+    finally:
+        _delete_tree(params, vae.params, txt)
+
+
 CORE = ("encode", "dit", "decode")
 PHASES = {"encode": phase_encode, "dit": phase_dit, "decode": phase_decode,
-          "dit_w8a8": phase_dit_w8a8, "dit_7b_q8": phase_dit_7b_q8}
+          "dit_w8a8": phase_dit_w8a8, "dit_7b_q8": phase_dit_7b_q8,
+          "dp_scaling": phase_dp_scaling}
 # rough per-lane wall cost (warm compile cache) used only to decide
 # whether an OPTIONAL lane still fits the budget; lanes can also be
 # trimmed explicitly via BENCH_LANES (comma list, "" = core phases only).
 # w8a8: on-device weight quantize + cached step executable (~4 min);
 # 7B q8: 36-block on-device init/quantize + q8 step (~11 min warm).
-_EST_LANE_S = {"dit_w8a8": 250.0, "dit_7b_q8": 650.0}
+# dp_scaling self-skips instantly on one device, so its estimate is tiny.
+_EST_LANE_S = {"dit_w8a8": 250.0, "dit_7b_q8": 650.0, "dp_scaling": 30.0}
 _EST_PHASE_S = 600.0
 
 
 def _lanes():
     env = os.environ.get("BENCH_LANES")
     if env is None:
-        return ["dit_w8a8", "dit_7b_q8"]
+        return ["dit_w8a8", "dit_7b_q8", "dp_scaling"]
     return [x for x in env.split(",") if x]
 
 
@@ -350,6 +443,8 @@ def _emit(times, error=None):
         out["dit_7b_q8_frames_per_s"] = round(fps, 4)
         out["dit_7b_q8_vs_baseline"] = round(
             fps / A100_DIT_7B_BASELINE_FPS, 3)
+    if "dp_scaling" in times:
+        out["dp_scaling"] = times["dp_scaling"]
     if error is not None:
         out["error"] = str(error)[:500]
     line = json.dumps(out)
@@ -384,10 +479,19 @@ def _acquire_backend():
     Proves the session is actually usable with a tiny execute+fetch (the
     only reliable barrier through the dev client) before returning.
     """
-    if os.environ.get("BENCH_FORCE_CPU"):
+    force_cpu = os.environ.get("BENCH_FORCE_CPU")
+    if force_cpu:
         # Logic-testing escape hatch: the image's sitecustomize preloads
         # jax before bench.py runs, so JAX_PLATFORMS is too late — force
-        # CPU via config (backend is still uninitialized here).
+        # CPU via config (backend is still uninitialized here). A numeric
+        # value > 1 additionally forces that many virtual CPU devices,
+        # which exercises the dp_scaling lane without hardware.
+        if force_cpu.isdigit() and int(force_cpu) > 1:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    f"{flags} --xla_force_host_platform_device_count="
+                    f"{int(force_cpu)}").strip()
         import jax
 
         jax.config.update("jax_platform_name", "cpu")
@@ -456,8 +560,12 @@ def _run_phases(p):
             continue
         _note(f"lane {lane}: starting")
         try:
-            times[lane] = PHASES[lane](p)
-            _note(f"lane {lane}: {times[lane]:.3f} s/iter")
+            res = PHASES[lane](p)
+            if res is None:  # lane self-skipped (e.g. dp on one device)
+                continue
+            times[lane] = res
+            _note(f"lane {lane}: {res:.3f} s/iter"
+                  if isinstance(res, float) else f"lane {lane}: {res}")
         except Exception as exc:  # noqa: BLE001 — lanes must not kill the run
             _note(f"lane {lane} FAILED: {exc!r}")
         _sweep()
