@@ -1,0 +1,156 @@
+"""Probe the largest VAE tile grids that fit post-DCE HBM (VERDICT r3 #2).
+
+Round 3's dead-state DCE cut 9.6 GiB of dead outputs per decode tile,
+making larger tiles plausible; this tool measures which uniform grids
+actually compile + run on the real chip at the 4K serving shape, and what
+they cost, so `_plan_grid`'s area cap (bench dec_tile/enc_tile and the
+CLI defaults) can be set to the fewest-tiles grid that fits:
+
+  decode grid frontier at 270x480 latent, 16-latent overlap
+    (tile cap)    grid    tile (latent)  redundant compute
+     1088^2       3x3      101x171        1.199x   <- round-3 default
+     1152^2       2x4      143x132        1.165x
+     1280^2       2x3      143x171        1.132x
+     1536^2       2x2      143x248        1.095x
+  encode is far lighter (~3.8 GiB at 1024^2): 2x2 / 1x3 grids should fit
+  outright (1.095x / 1.069x vs the 1.203x of the 1024^2 default).
+
+Run on the TPU (one lane at a time keeps OOM blast radius small):
+  python tools/tile_probe.py decode 1152 1280
+  python tools/tile_probe.py encode 1536 2176
+Prints one JSON line per probe; failures are caught and reported.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import _bootstrap  # noqa: F401,E402
+
+FRAMES = 5
+H4K, W4K = 2160, 3840
+
+
+def _force(x):
+    import jax.numpy as jnp
+
+    return float(jnp.mean(x.astype(jnp.float32)))
+
+
+def probe(kind: str, tile_px: int):
+    import jax
+    import jax.numpy as jnp
+
+    from seedvr2_tpu.core.configs import VAE_V3
+    from seedvr2_tpu.models.vae.pipeline_vae import (VideoVAE, _plan_grid,
+                                                     init_vae_params)
+
+    key = jax.random.PRNGKey(0)
+    vae = VideoVAE(init_vae_params(key, VAE_V3, dtype=jnp.bfloat16), VAE_V3)
+    lt = tile_px // 8
+    h, w = H4K // 8, W4K // 8
+    ys, th, xs, tw = _plan_grid(h, w, lt * lt, 16, 16)
+    grid = (len(ys), len(xs))
+    red = grid[0] * grid[1] * th * tw / (h * w)
+    out = {"kind": kind, "tile_px": tile_px, "grid": grid,
+           "tile_latent": (th, tw), "redundancy": round(red, 3)}
+    try:
+        if kind == "decode":
+            z = jax.random.normal(jax.random.fold_in(key, 1),
+                                  (1, 2, h, w, VAE_V3.latent_channels),
+                                  jnp.bfloat16)
+            t0 = time.perf_counter()
+            _force(vae.decode(z, tiled=True, tile_size=(tile_px, tile_px),
+                              tile_overlap=(128, 128), tile_mode="uniform"))
+            out["compile_plus_run_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            _force(vae.decode(z + 1, tiled=True,
+                              tile_size=(tile_px, tile_px),
+                              tile_overlap=(128, 128), tile_mode="uniform"))
+            out["run_s"] = round(time.perf_counter() - t0, 2)
+        else:
+            x = jax.random.uniform(jax.random.fold_in(key, 2),
+                                   (1, FRAMES, H4K, W4K, 3), jnp.bfloat16,
+                                   -1.0, 1.0)
+            t0 = time.perf_counter()
+            _force(vae.encode(x, tiled=True, tile_size=(tile_px, tile_px),
+                              tile_overlap=(128, 128), tile_mode="uniform"))
+            out["compile_plus_run_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            _force(vae.encode(x - 1, tiled=True,
+                              tile_size=(tile_px, tile_px),
+                              tile_overlap=(128, 128), tile_mode="uniform"))
+            out["run_s"] = round(time.perf_counter() - t0, 2)
+        out["ok"] = True
+    except Exception as exc:  # noqa: BLE001 — report OOMs as data
+        out["ok"] = False
+        out["error"] = repr(exc)[:300]
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def probe_mem(kind: str, tile_px: int):
+    """Compile-only HBM demand of ONE tile's work at the 4K serving shape
+    via XLA memory_analysis (the round-3 DCE tool) — no execution, so a
+    too-big candidate can't OOM-crash the session."""
+    import jax
+    import jax.numpy as jnp
+
+    from seedvr2_tpu.core.configs import VAE_V3
+    from seedvr2_tpu.models.vae.pipeline_vae import (_decode_slices,
+                                                     _plan_grid,
+                                                     init_vae_params)
+    from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE  # noqa: F401
+
+    key = jax.random.PRNGKey(0)
+    params = init_vae_params(key, VAE_V3, dtype=jnp.bfloat16)
+    lt = tile_px // 8
+    h, w = H4K // 8, W4K // 8
+    ys, th, xs, tw = _plan_grid(h, w, lt * lt, 16, 16)
+    out = {"kind": f"{kind}_mem", "tile_px": tile_px,
+           "grid": (len(ys), len(xs)), "tile_latent": (th, tw),
+           "redundancy": round(len(ys) * len(xs) * th * tw / (h * w), 3)}
+    try:
+        if kind == "decode":
+            shape = (1, 2, th, tw, VAE_V3.latent_channels)
+            fn = jax.jit(lambda p, z: _decode_slices(p, VAE_V3, z))
+        else:
+            from seedvr2_tpu.models.vae.model import encoder_core
+
+            shape = (1, FRAMES, th * 8, tw * 8, 3)
+            fn = jax.jit(lambda p, x: encoder_core(p, VAE_V3, x, None)[0])
+        z = jax.ShapeDtypeStruct(shape, jnp.bfloat16)
+        mem = fn.lower(params, z).compile().memory_analysis()
+        gib = 1024 ** 3
+        out["ok"] = True
+        out["temp_gib"] = round(mem.temp_size_in_bytes / gib, 2)
+        out["argument_gib"] = round(mem.argument_size_in_bytes / gib, 2)
+        out["output_gib"] = round(mem.output_size_in_bytes / gib, 2)
+        out["total_gib"] = round(
+            (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+             + mem.output_size_in_bytes) / gib, 2)
+    except Exception as exc:  # noqa: BLE001 — report compile failures as data
+        out["ok"] = False
+        out["error"] = repr(exc)[:300]
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    kind = sys.argv[1]
+    if kind.endswith("_mem"):
+        for px in [int(a) for a in sys.argv[2:]]:
+            probe_mem(kind[:-4], px)
+        return
+    for px in [int(a) for a in sys.argv[2:]]:
+        probe(kind, px)
+
+
+if __name__ == "__main__":
+    main()
