@@ -369,22 +369,15 @@ def _upsample3d(params, path, x, state, new_state, temporal_up: bool,
     return y
 
 
-def decoder_core(params: dict, cfg: VAEConfig, z: jnp.ndarray,
-                 state: State) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """z: (B, Tl, h, w, latent) -> (B, T, 8h, 8w, 3). state as encoder_core."""
-    new_state: Dict[str, jnp.ndarray] = {}
+def _decoder_blocks(params: dict, cfg: VAEConfig, x: jnp.ndarray,
+                    state: State, new_state: Dict[str, jnp.ndarray],
+                    lo: int, hi: int, first_slice: bool) -> jnp.ndarray:
+    """Up blocks [lo, hi) of the decoder (resnets + trailing upsampler)."""
     g = cfg.norm_num_groups
     chans = list(reversed(cfg.block_out_channels))
     n_blocks = len(chans)
-    first_slice = state is None
-
-    x = causal_conv3d(params, "decoder.conv_in", z, state, t_pad=1,
-                      s_pad=((1, 1), (1, 1)), new_state=new_state)
-    x = _mid_block(params, "decoder.mid_block", x, state, new_state,
-                   chans[0], g, cfg.conv_quant)
-
-    in_ch = chans[0]
-    for i in range(n_blocks):
+    in_ch = chans[lo - 1] if lo > 0 else chans[0]
+    for i in range(lo, hi):
         out_ch = chans[i]
         base = f"decoder.up_blocks.{i}"
         for j in range(cfg.layers_per_block + 1):
@@ -396,7 +389,52 @@ def decoder_core(params: dict, cfg: VAEConfig, z: jnp.ndarray,
             temporal_up = i < cfg.temporal_scale_num
             x = _upsample3d(params, f"{base}.upsamplers.0", x, state, new_state,
                             temporal_up, first_slice)
+    return x
 
-    x = norm_silu_conv(params, "decoder.conv_norm_out", "decoder.conv_out",
-                       x, state, new_state, g, cfg.conv_quant)
+
+def decoder_head(params: dict, cfg: VAEConfig, z: jnp.ndarray,
+                 state: State, split: int
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """conv_in + mid block + up blocks [0, split): the part of the decoder
+    the split-level tiled decode runs GLOBALLY (exact mid attention and
+    group-norm statistics — per-tile approximations only start past the
+    split; pipeline_vae.py). Returns the intermediate at spatial scale
+    2^min(split, n_blocks-1) and temporal scale per temporal_scale_num."""
+    new_state: Dict[str, jnp.ndarray] = {}
+    chans = list(reversed(cfg.block_out_channels))
+    first_slice = state is None
+
+    x = causal_conv3d(params, "decoder.conv_in", z, state, t_pad=1,
+                      s_pad=((1, 1), (1, 1)), new_state=new_state)
+    x = _mid_block(params, "decoder.mid_block", x, state, new_state,
+                   chans[0], cfg.norm_num_groups, cfg.conv_quant)
+    x = _decoder_blocks(params, cfg, x, state, new_state, 0, split,
+                        first_slice)
     return x, new_state
+
+
+def decoder_tail(params: dict, cfg: VAEConfig, x: jnp.ndarray,
+                 state: State, split: int, first_slice: bool = True
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Up blocks [split, n) + the output norm/conv — the per-tile part of
+    the split-level tiled decode. first_slice must mirror the head's
+    (state is None) so temporal upsamplers agree on the remove_head drop
+    when the split sits below temporal_scale_num."""
+    new_state: Dict[str, jnp.ndarray] = {}
+    n_blocks = len(cfg.block_out_channels)
+    x = _decoder_blocks(params, cfg, x, state, new_state, split, n_blocks,
+                        first_slice)
+    x = norm_silu_conv(params, "decoder.conv_norm_out", "decoder.conv_out",
+                       x, state, new_state, cfg.norm_num_groups,
+                       cfg.conv_quant)
+    return x, new_state
+
+
+def decoder_core(params: dict, cfg: VAEConfig, z: jnp.ndarray,
+                 state: State) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """z: (B, Tl, h, w, latent) -> (B, T, 8h, 8w, 3). state as encoder_core."""
+    first_slice = state is None
+    x, ns_head = decoder_head(params, cfg, z, state, 0)
+    x, ns_tail = decoder_tail(params, cfg, x, state, 0, first_slice)
+    ns_head.update(ns_tail)
+    return x, ns_head
