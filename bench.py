@@ -219,7 +219,13 @@ def _dit_phase(p, cfg, quant):
     from seedvr2_tpu.models.dit.nadit import init_dit_params
 
     key = jax.random.PRNGKey(0)
-    if quant == "w8a8":
+    if quant == "w8a8" and cfg.num_layers > 24:
+        # 7B: the bf16 tree (16.5 GB) never fits HBM whole — init+quantize
+        # block-by-block like the q8 lane
+        from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
+
+        params = _init_quantized_by_block(key, cfg, quantize_dit_params_w8a8)
+    elif quant == "w8a8":
         from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
 
         params = quantize_dit_params_w8a8(
@@ -262,6 +268,12 @@ def phase_dit_w8a8(p):
 
 def phase_dit_7b_q8(p):
     return _dit_phase(p, p["dit7b_cfg"], "q8")
+
+
+def phase_dit_7b_w8a8(p):
+    """7B on the int8 MXU (~2x the q8 lane's matmul rate; not in the
+    default lane list — run via BENCH_LANES=dit_7b_w8a8)."""
+    return _dit_phase(p, p["dit7b_cfg"], "w8a8")
 
 
 def phase_decode(p):
@@ -388,14 +400,15 @@ def phase_dp_scaling(p):
 CORE = ("encode", "dit", "decode")
 PHASES = {"encode": phase_encode, "dit": phase_dit, "decode": phase_decode,
           "dit_w8a8": phase_dit_w8a8, "dit_7b_q8": phase_dit_7b_q8,
-          "dp_scaling": phase_dp_scaling}
+          "dit_7b_w8a8": phase_dit_7b_w8a8, "dp_scaling": phase_dp_scaling}
 # rough per-lane wall cost (warm compile cache) used only to decide
 # whether an OPTIONAL lane still fits the budget; lanes can also be
 # trimmed explicitly via BENCH_LANES (comma list, "" = core phases only).
 # w8a8: on-device weight quantize + cached step executable (~4 min);
 # 7B q8: 36-block on-device init/quantize + q8 step (~11 min warm).
 # dp_scaling self-skips instantly on one device, so its estimate is tiny.
-_EST_LANE_S = {"dit_w8a8": 250.0, "dit_7b_q8": 650.0, "dp_scaling": 30.0}
+_EST_LANE_S = {"dit_w8a8": 250.0, "dit_7b_q8": 650.0, "dit_7b_w8a8": 650.0,
+               "dp_scaling": 30.0}
 _EST_PHASE_S = 600.0
 
 
@@ -442,6 +455,12 @@ def _emit(times, error=None):
         out["dit_7b_q8_s"] = round(times["dit_7b_q8"], 3)
         out["dit_7b_q8_frames_per_s"] = round(fps, 4)
         out["dit_7b_q8_vs_baseline"] = round(
+            fps / A100_DIT_7B_BASELINE_FPS, 3)
+    if "dit_7b_w8a8" in times:
+        fps = FRAMES / times["dit_7b_w8a8"]
+        out["dit_7b_w8a8_s"] = round(times["dit_7b_w8a8"], 3)
+        out["dit_7b_w8a8_frames_per_s"] = round(fps, 4)
+        out["dit_7b_w8a8_vs_baseline"] = round(
             fps / A100_DIT_7B_BASELINE_FPS, 3)
     if "dp_scaling" in times:
         out["dp_scaling"] = times["dp_scaling"]
