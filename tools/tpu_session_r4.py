@@ -1,0 +1,105 @@
+"""One-process round-4 TPU capture: tile probes + conv_in + fp8 studies.
+
+The axon dev tunnel serializes client sessions and takes 0.5-10 min to
+reap a dead one, so the round's pending hardware measurements run in ONE
+process, each phase wrapped so an OOM or kernel failure doesn't kill the
+rest. Results append as JSON lines to --log (default
+/tmp/tpu_session_r4.jsonl) as they land.
+
+Order (most valuable first, in case the tunnel dies mid-run):
+  1. decode tile memory probes (compile-only memory_analysis): 1152, 1280
+  2. decode tile RUN probes for caps whose memory fits (< ~15.5 GiB)
+  3. encode tile memory + run probes: 1536, 2176
+  4. conv_in formulation study
+  5. fp8 compute study re-capture (VERDICT r3 #4)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import _bootstrap  # noqa: F401,E402
+
+LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_session_r4.jsonl"
+HBM_BUDGET_GIB = 15.5
+
+
+def log(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def guard(name, fn):
+    t0 = time.perf_counter()
+    try:
+        out = fn()
+        log({"step": name, "ok": True,
+             "wall_s": round(time.perf_counter() - t0, 1),
+             **({"result": out} if isinstance(out, dict) else {})})
+        return out
+    except Exception as exc:  # noqa: BLE001 — keep the session alive
+        log({"step": name, "ok": False, "error": repr(exc)[:400],
+             "wall_s": round(time.perf_counter() - t0, 1)})
+        return None
+
+
+def main():
+    from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    log({"step": "backend", "backend": jax.default_backend(),
+         "devices": len(jax.devices())})
+
+    from tools import tile_probe
+
+    # 1+2: decode --------------------------------------------------------
+    runnable = [1088]  # known-good r3 default as timing baseline
+    for px in (1152, 1280):
+        r = guard(f"decode_mem_{px}", lambda p=px: tile_probe.probe_mem("decode", p))
+        if r and r.get("ok") and r.get("total_gib", 99) < HBM_BUDGET_GIB:
+            runnable.append(px)
+    for px in runnable:
+        guard(f"decode_run_{px}", lambda p=px: tile_probe.probe("decode", p))
+
+    # 3: encode ----------------------------------------------------------
+    enc_runnable = [1024]
+    for px in (1536, 2176):
+        r = guard(f"encode_mem_{px}", lambda p=px: tile_probe.probe_mem("encode", p))
+        if r and r.get("ok") and r.get("total_gib", 99) < HBM_BUDGET_GIB:
+            enc_runnable.append(px)
+    for px in enc_runnable:
+        guard(f"encode_run_{px}", lambda p=px: tile_probe.probe("encode", p))
+
+    # free everything before the dense studies
+    for a in jax.live_arrays():
+        try:
+            a.delete()
+        except Exception:  # noqa: BLE001
+            pass
+
+    # 4: conv_in ---------------------------------------------------------
+    from tools import conv_in_study
+
+    guard("conv_in_study", lambda: conv_in_study.run())
+
+    for a in jax.live_arrays():
+        try:
+            a.delete()
+        except Exception:  # noqa: BLE001
+            pass
+
+    # 5: fp8 -------------------------------------------------------------
+    from tools import fp8_study
+
+    guard("fp8_study", lambda: fp8_study.main())
+
+
+if __name__ == "__main__":
+    main()
