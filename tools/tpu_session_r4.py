@@ -17,6 +17,7 @@ Order (most valuable first, in case the tunnel dies mid-run):
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -25,16 +26,49 @@ import _bootstrap  # noqa: F401,E402
 
 LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_session_r4.jsonl"
 HBM_BUDGET_GIB = 15.5
+ACQUIRE_DEADLINE_S = 900.0   # backend init can hang (not error) when the
+STEP_DEADLINE_S = 2400.0     # tunnel is down; a watchdog exits 3 so an
+#                              outer supervisor loop can restart us.
+
+_last_progress = time.monotonic()
+_acquired = threading.Event()
 
 
 def log(obj):
+    global _last_progress
+    _last_progress = time.monotonic()
     line = json.dumps(obj)
     print(line, flush=True)
     with open(LOG, "a") as f:
         f.write(line + "\n")
 
 
+def _done_steps():
+    """Steps already captured OK in LOG (idempotent supervisor restarts),
+    mapped to their recorded result so mem-gated downstream steps still
+    see the numbers after a restart."""
+    done = {}
+    try:
+        with open(LOG) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("ok") and rec.get("step"):
+                    done[rec["step"]] = rec.get("result")
+    except OSError:
+        pass
+    return done
+
+
+_DONE = _done_steps()
+
+
 def guard(name, fn):
+    if name in _DONE:
+        print(f"# skip {name} (already captured)", flush=True)
+        return _DONE[name]
     t0 = time.perf_counter()
     try:
         out = fn()
@@ -48,14 +82,62 @@ def guard(name, fn):
         return None
 
 
+def _watchdog():
+    def run():
+        t0 = time.monotonic()
+        while True:
+            time.sleep(15)
+            if not _acquired.is_set():
+                if time.monotonic() - t0 > ACQUIRE_DEADLINE_S:
+                    print("# watchdog: backend acquire wedged, exit 3",
+                          flush=True)
+                    os._exit(3)
+            elif time.monotonic() - _last_progress > STEP_DEADLINE_S:
+                print("# watchdog: no step progress, exit 3", flush=True)
+                os._exit(3)
+
+    threading.Thread(target=run, daemon=True, name="r4-watchdog").start()
+
+
+def _acquire_backend():
+    """jax backend init with retry (errors) + watchdog (hangs)."""
+    delay = 20.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            backend = jax.default_backend()
+            float(jnp.mean(jnp.ones((2, 2), jnp.float32)))
+            _acquired.set()
+            return backend, len(jax.devices())
+        except Exception as exc:  # noqa: BLE001 — transient tunnel fails
+            print(f"# backend init failed (attempt {attempt}): {exc!r}; "
+                  f"retrying in {delay:.0f}s", flush=True)
+            try:
+                from jax._src import api as _japi
+
+                _japi.clear_backends()
+            except Exception:  # noqa: BLE001 — best-effort reset
+                pass
+            time.sleep(delay)
+            delay = min(delay * 1.6, 120.0)
+
+
 def main():
     from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    _watchdog()
+    backend, n_dev = _acquire_backend()
     import jax
 
-    log({"step": "backend", "backend": jax.default_backend(),
-         "devices": len(jax.devices())})
+    log({"step": "backend", "backend": backend, "devices": n_dev})
+    if backend != "tpu":
+        print("# not a TPU backend, exit 4", flush=True)
+        os._exit(4)
 
     from tools import tile_probe
 
