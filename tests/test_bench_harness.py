@@ -57,6 +57,23 @@ def test_emit_always_json_with_error_and_result_file(tmp_path, monkeypatch,
     assert out["encode_s"] == 2.0
 
 
+def test_emit_promotes_gated_w8a8_e2e_headline(tmp_path, monkeypatch,
+                                               capsys):
+    monkeypatch.setenv("BENCH_RESULT_FILE", str(tmp_path / "r.json"))
+    times = {"encode": 5.0, "dit": 2.5, "decode": 12.5, "dit_w8a8": 2.0}
+    out = bench._emit(times)
+    capsys.readouterr()
+    # bf16 e2e = 5/20 = 0.25; w8a8 e2e = 5/19.5 > 0.25 -> promoted
+    assert out["serving"] == "w8a8 DiT + bf16 VAE"
+    assert out["value"] == round(5 / 19.5, 4)
+    assert out["e2e_bf16_frames_per_s"] == 0.25
+    assert out["vs_baseline"] == round(5 / 19.5 / 0.25, 3)
+    # slower w8a8 lane must NOT displace the bf16 headline
+    out2 = bench._emit({**times, "dit_w8a8": 3.0})
+    capsys.readouterr()
+    assert "serving" not in out2 and out2["value"] == 0.25
+
+
 def test_emit_empty_times_is_parseable(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_RESULT_FILE", str(tmp_path / "r.json"))
     bench._emit({}, error="RuntimeError('UNAVAILABLE')")
