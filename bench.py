@@ -192,6 +192,12 @@ def _init_quantized_by_block(key, cfg, quantize):
 
     from seedvr2_tpu.models.dit.nadit import init_dit_params
 
+    if cfg.family == "dit_3b":
+        # 3B stacks are NOT uniform: blocks < mm_layers carry separate
+        # vid/txt weights and the last block is vid-only, so a
+        # num_layers=1 template would build the wrong tree.
+        raise ValueError("by-block init requires a structurally-uniform "
+                         "block stack (dit_7b); dit_3b blocks vary by index")
     cfg1 = dataclasses.replace(cfg, num_layers=1)
     params = quantize(init_dit_params(key, cfg1, dtype=jnp.bfloat16))
     blocks = params["blocks"]
@@ -219,7 +225,7 @@ def _dit_phase(p, cfg, quant):
     from seedvr2_tpu.models.dit.nadit import init_dit_params
 
     key = jax.random.PRNGKey(0)
-    if quant == "w8a8" and cfg.num_layers > 24:
+    if quant == "w8a8" and cfg.family == "dit_7b":
         # 7B: the bf16 tree (16.5 GB) never fits HBM whole — init+quantize
         # block-by-block like the q8 lane
         from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
@@ -523,33 +529,13 @@ def _acquire_backend():
 
         jax.config.update("jax_platform_name", "cpu")
         jax.config.update("jax_platforms", "cpu")
+    from seedvr2_tpu.utils.backend import acquire_backend
+
     retry_budget = min(600.0, 0.4 * _budget())
-    delay = 20.0
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            backend = jax.default_backend()
-            float(jnp.mean(jnp.ones((2, 2), jnp.float32)))
-            if attempt > 1:
-                _note(f"backend '{backend}' up after {attempt} attempts")
-            return backend
-        except Exception as exc:  # noqa: BLE001 — retry transient init fails
-            if _elapsed() + delay > retry_budget:
-                raise
-            _note(f"backend init failed (attempt {attempt}): "
-                  f"{exc!r}; retrying in {delay:.0f}s")
-            try:
-                from jax._src import api as _japi
-
-                _japi.clear_backends()
-            except Exception:  # noqa: BLE001 — best-effort reset
-                pass
-            time.sleep(delay)
-            delay = min(delay * 1.6, 120.0)
+    backend, _ = acquire_backend(
+        give_up=lambda next_delay: _elapsed() + next_delay > retry_budget,
+        note=_note)
+    return backend
 
 
 # Shared with the SIGTERM handler so a driver timeout still flushes a
@@ -595,6 +581,9 @@ def _run_phases(p):
                   if isinstance(res, float) else f"lane {lane}: {res}")
         except Exception as exc:  # noqa: BLE001 — lanes must not kill the run
             _note(f"lane {lane} FAILED: {exc!r}")
+            _sweep()
+            _emit(times, error=f"lane {lane}: {exc!r}")
+            continue
         _sweep()
         _emit(times)
 

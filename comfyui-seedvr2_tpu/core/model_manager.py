@@ -125,6 +125,18 @@ def load_dit_checkpoint(path: str, dtype=COMPUTE_DTYPE,
             from ..ops.quant_matmul import quantize_dit_params
 
             params = quantize_dit_params(params)
+        elif quant in ("q4", "q8", "q4k") and path.endswith(".gguf"):
+            # GGUF checkpoints serve whatever quantization the file itself
+            # carries (keep_q8/native_kquants above) — PTQ is not applied
+            # on top. An F16 gguf therefore serves DENSE despite the flag.
+            import warnings
+
+            warnings.warn(
+                f"--quant {quant} does not re-quantize GGUF checkpoints: "
+                "the file's native format is served as-is (an F16 .gguf "
+                "stays dense). Use a pre-quantized .gguf or a safetensors "
+                "checkpoint for post-training quantization.",
+                stacklevel=2)
     if not on_host:
         params = jax.device_put(params, jax.devices()[0])
     return params, cfg

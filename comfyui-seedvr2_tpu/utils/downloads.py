@@ -86,8 +86,11 @@ def validate_file(path: str, expected_sha: Optional[str],
         return True
     if not os.path.isfile(path):
         return False
-    actual = sha256_file(path)
+    # stat BEFORE hashing: if the file is modified while sha256_file runs,
+    # the cached size/mtime then mismatch the on-disk file and the entry is
+    # ignored, instead of permanently pairing new stats with the old hash.
     st = os.stat(path)
+    actual = sha256_file(path)
     cache = _load_cache(model_dir)
     cache[os.path.basename(path)] = {
         "size": st.st_size, "mtime": st.st_mtime, "sha256": actual}
@@ -97,14 +100,22 @@ def validate_file(path: str, expected_sha: Optional[str],
 
 def download_with_resume(url: str, filepath: str, debug=None,
                          chunk: int = DOWNLOAD_CHUNK_SIZE,
-                         timeout: float = 30.0) -> bool:
+                         timeout: float = 30.0,
+                         allow_resume: bool = True) -> bool:
     """Stream `url` to `filepath` via a `.download` temp file, resuming a
     previous partial transfer with a Range request (reference
     download_with_resume, downloads.py:138-162). If the server ignores the
     Range header (HTTP 200 instead of 206), the partial is discarded and
     the transfer restarts from byte 0 — appending a full body to a partial
-    file is the corruption mode the status check exists to prevent."""
+    file is the corruption mode the status check exists to prevent.
+
+    `allow_resume=False` discards any existing partial and transfers from
+    byte 0 — required when no checksum will verify the result, since a
+    stale partial spliced with a new tail (upstream file changed between
+    attempts) would otherwise be accepted silently."""
     temp_file = f"{filepath}.download"
+    if not allow_resume and os.path.exists(temp_file):
+        os.remove(temp_file)
     existing = os.path.getsize(temp_file) if os.path.exists(temp_file) else 0
     headers = {"Range": f"bytes={existing}-"} if existing > 0 else {}
     try:
@@ -179,7 +190,9 @@ def download_weight(model_name: str, model_dir: str, debug=None,
     last_err = None
     for attempt in range(MAX_RETRIES):
         try:
-            got = path if download_with_resume(src, path, debug) else None
+            ok = download_with_resume(src, path, debug,
+                                      allow_resume=info.sha256 is not None)
+            got = path if ok else None
             if got and validate_file(got, info.sha256, model_dir):
                 return got
             if got:

@@ -11,7 +11,9 @@ import bench
 
 
 def test_acquire_backend_retries_transient_unavailable(monkeypatch):
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    from seedvr2_tpu.utils import backend as backend_mod
+
+    monkeypatch.setattr(backend_mod.time, "sleep", lambda s: None)
     calls = {"n": 0}
     real = jax.default_backend
 
@@ -28,7 +30,9 @@ def test_acquire_backend_retries_transient_unavailable(monkeypatch):
 
 
 def test_acquire_backend_gives_up_after_budget(monkeypatch):
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    from seedvr2_tpu.utils import backend as backend_mod
+
+    monkeypatch.setattr(backend_mod.time, "sleep", lambda s: None)
     # elapsed clock far past the retry budget -> first failure re-raises
     monkeypatch.setattr(bench, "_elapsed", lambda: 1e9)
 
@@ -80,3 +84,40 @@ def test_emit_empty_times_is_parseable(tmp_path, monkeypatch, capsys):
     parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert parsed["value"] == 0.0 and parsed["vs_baseline"] is None
     assert parsed["partial"] is True and parsed["phases_measured"] == []
+
+
+def test_by_block_init_rejects_nonuniform_3b_stack():
+    """3B blocks vary by index (mm vid/txt split, vid-only tail) — the
+    num_layers=1 template of _init_quantized_by_block would silently
+    build the wrong tree, so it must refuse dit_3b configs."""
+    import pytest
+
+    from seedvr2_tpu.core.configs import small_test_config
+
+    cfg = small_test_config(family="dit_3b", num_layers=3)
+    with pytest.raises(ValueError, match="uniform"):
+        bench._init_quantized_by_block(
+            jax.random.PRNGKey(0), cfg, lambda tree: tree)
+
+
+def test_by_block_init_matches_whole_tree_for_7b():
+    """For the uniform 7B stack, by-block init must produce the exact
+    structure (treedef + leaf shapes/dtypes) of whole-tree quantization,
+    or nadit_forward KeyErrors at serve time."""
+    import jax.numpy as jnp
+
+    from seedvr2_tpu.core.configs import small_test_config
+    from seedvr2_tpu.models.dit.nadit import init_dit_params
+    from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
+
+    cfg = small_test_config(family="dit_7b", num_layers=3)
+    key = jax.random.PRNGKey(0)
+    by_block = bench._init_quantized_by_block(key, cfg,
+                                              quantize_dit_params_w8a8)
+    whole = quantize_dit_params_w8a8(init_dit_params(key, cfg,
+                                                     dtype=jnp.bfloat16))
+    ts_a = jax.tree.structure(by_block)
+    ts_b = jax.tree.structure(whole)
+    assert ts_a == ts_b
+    for a, b in zip(jax.tree.leaves(by_block), jax.tree.leaves(whole)):
+        assert a.shape == b.shape and a.dtype == b.dtype

@@ -191,3 +191,17 @@ def test_no_sha_accepts_existing_file(registry, tmp_path):
     target.write_bytes(b"whatever")
     path = dl.download_weight("custom_nosha.safetensors", str(tmp_path))
     assert path == str(target)
+
+
+def test_no_sha_never_resumes_stale_partial(server, registry, tmp_path):
+    """With no registry checksum, a resumed splice (stale partial + new
+    tail) could never be caught — so the transfer must discard the
+    partial and start from byte 0."""
+    temp = tmp_path / "w_nosha.safetensors.download"
+    temp.write_bytes(b"stale bytes from an older upstream version")
+    path = dl.download_weight("w_nosha.safetensors", str(tmp_path),
+                              url=f"{server}/w_nosha.safetensors")
+    with open(path, "rb") as f:
+        assert f.read() == PAYLOAD  # no stale prefix spliced in
+    # and no Range request was ever issued (plain GETs log range=None)
+    assert all(rng is None for rng, _ in _RangeHandler.served_ranges)

@@ -57,8 +57,8 @@ def _patches(xp, T, H, W, c):
 
 def im2col(x_ext, w, b, c_pad=0):
     """Patch matmul; c_pad pads the channel dim (0 = raw 81-contraction)."""
-    B, Te, H2, W2, C = x_ext.shape
-    T, H, W = Te - 2, H2 - 2 + 2, W2 - 2 + 2  # spatial pad added below
+    B, Te, _, _, C = x_ext.shape
+    T = Te - 2
     if c_pad:
         x_ext = jnp.pad(x_ext, ((0, 0),) * 4 + ((0, c_pad - C),))
         w = jnp.pad(w, ((0, 0),) * 3 + ((0, c_pad - C), (0, 0)))

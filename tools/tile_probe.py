@@ -103,7 +103,6 @@ def probe_mem(kind: str, tile_px: int):
     from seedvr2_tpu.models.vae.pipeline_vae import (_decode_slices,
                                                      _plan_grid,
                                                      init_vae_params)
-    from seedvr2_tpu.models.vae.pipeline_vae import VideoVAE  # noqa: F401
 
     key = jax.random.PRNGKey(0)
     params = init_vae_params(key, VAE_V3, dtype=jnp.bfloat16)

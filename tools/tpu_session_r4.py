@@ -3,8 +3,8 @@
 The axon dev tunnel serializes client sessions and takes 0.5-10 min to
 reap a dead one, so the round's pending hardware measurements run in ONE
 process, each phase wrapped so an OOM or kernel failure doesn't kill the
-rest. Results append as JSON lines to --log (default
-/tmp/tpu_session_r4.jsonl) as they land.
+rest. Results append as JSON lines to the log path given as the first
+positional argument (default /tmp/tpu_session_r4.jsonl) as they land.
 
 Order (most valuable first, in case the tunnel dies mid-run):
   1. decode tile memory probes (compile-only memory_analysis): 1152, 1280
@@ -100,30 +100,15 @@ def _watchdog():
 
 
 def _acquire_backend():
-    """jax backend init with retry (errors) + watchdog (hangs)."""
-    delay = 20.0
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            import jax
-            import jax.numpy as jnp
+    """jax backend init via the shared retry helper (errors); the module
+    watchdog covers *hangs* inside the init RPC. Retries forever — the
+    outer supervisor loop owns the wall budget."""
+    from seedvr2_tpu.utils.backend import acquire_backend
 
-            backend = jax.default_backend()
-            float(jnp.mean(jnp.ones((2, 2), jnp.float32)))
-            _acquired.set()
-            return backend, len(jax.devices())
-        except Exception as exc:  # noqa: BLE001 — transient tunnel fails
-            print(f"# backend init failed (attempt {attempt}): {exc!r}; "
-                  f"retrying in {delay:.0f}s", flush=True)
-            try:
-                from jax._src import api as _japi
-
-                _japi.clear_backends()
-            except Exception:  # noqa: BLE001 — best-effort reset
-                pass
-            time.sleep(delay)
-            delay = min(delay * 1.6, 120.0)
+    backend, n_dev = acquire_backend(
+        note=lambda m: print(f"# {m}", flush=True))
+    _acquired.set()
+    return backend, n_dev
 
 
 def main():
