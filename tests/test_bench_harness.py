@@ -121,3 +121,22 @@ def test_by_block_init_matches_whole_tree_for_7b():
     assert ts_a == ts_b
     for a, b in zip(jax.tree.leaves(by_block), jax.tree.leaves(whole)):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_failed_lane_emits_error_field(monkeypatch, capsys):
+    """A crashed OPTIONAL lane must be distinguishable (error field) from a
+    lane skipped for budget — the same observability contract core phases
+    have."""
+    monkeypatch.setattr(bench, "CORE", [])
+    monkeypatch.setattr(bench, "_lanes", lambda: ["boom_lane"])
+    monkeypatch.setitem(bench._EST_LANE_S, "boom_lane", 0.0)
+    monkeypatch.setitem(
+        bench.PHASES, "boom_lane",
+        lambda p: (_ for _ in ()).throw(RuntimeError("lane died")))
+    bench._run_phases({})
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert "lane boom_lane" in parsed.get("error", "")
+    # partial refers to CORE phases only — a dead optional lane must not
+    # invalidate the headline (here CORE=[] is trivially complete)
+    assert parsed["partial"] is False
