@@ -8,8 +8,8 @@ import jax.numpy as jnp
 from seedvr2_tpu.core.configs import VAEConfig
 from seedvr2_tpu.models.vae.model import (decoder_core, decoder_head,
                                           decoder_tail)
-from seedvr2_tpu.models.vae.pipeline_vae import (_min_overlap, _plan_grid,
-                                                 init_vae_params)
+from seedvr2_tpu.models.vae.pipeline_vae import (VideoVAE, _min_overlap,
+                                                 _plan_grid, init_vae_params)
 
 CFG = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
                 latent_channels=4, norm_num_groups=4)
@@ -59,3 +59,30 @@ def test_plan_grid_covers_and_respects_cap():
             for x in xs:
                 covered[y:y + th, x:x + tw] = True
         assert covered.all()
+
+
+def test_tiled_decode_seam_psnr_at_serving_overlap():
+    """Accuracy gate for the bench serving config's 64 px tile overlap.
+
+    The reference's model-level API default is tile_overlap=(64, 64)
+    (attn_video_vae.py:1184-1200); its CLI default is 128 px. Measured on
+    this random-weight tiny VAE (latent 24x32, 96 px tiles), tiled-vs-
+    untiled PSNR is 36.6 dB at 64 px vs 35.9 dB at 128 px — halving the
+    overlap does not degrade seams while cutting 4K decode redundancy
+    1.199x -> 1.081x (the absolute level is set by per-tile GroupNorm
+    statistics on random weights; real checkpoints sit much higher).
+    Floor at 30 dB: a broken fade/stitch (wrong mask, off-by-one crop)
+    lands below 20 dB."""
+    key = jax.random.PRNGKey(0)
+    params = init_vae_params(key, CFG, dtype=jnp.float32)
+    vae = VideoVAE(params, CFG, dtype=jnp.float32)
+    z = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, 24, 32, 4),
+                          jnp.float32)
+    ref = np.asarray(vae.decode(z, tiled=False))
+    out = np.asarray(vae.decode(z, tiled=True, tile_size=(96, 96),
+                                tile_overlap=(64, 64), tile_mode="uniform"))
+    assert out.shape == ref.shape
+    rng_span = float(ref.max() - ref.min())
+    mse = float(np.mean((out - ref) ** 2))
+    psnr = 10 * np.log10(rng_span ** 2 / mse)
+    assert psnr >= 30.0, f"tiled(ov=64px) vs untiled decode: {psnr:.1f} dB"

@@ -4,19 +4,23 @@ Round 3's dead-state DCE cut 9.6 GiB of dead outputs per decode tile,
 making larger tiles plausible; this tool measures which uniform grids
 actually compile + run on the real chip at the 4K serving shape, and what
 they cost, so `_plan_grid`'s area cap (bench dec_tile/enc_tile and the
-CLI defaults) can be set to the fewest-tiles grid that fits:
+CLI defaults) can be set to the fewest-tiles grid that fits.
 
-  decode grid frontier at 270x480 latent, 16-latent overlap
+Grids are planned at the SERVING overlap (64 px = 8 latent — the
+reference model API's own default, accuracy-gated in
+tests/test_vae_tiling.py), which already buys most of the redundancy:
+
+  decode grid frontier at 270x480 latent, 8-latent overlap
     (tile cap)    grid    tile (latent)  redundant compute
-     1088^2       3x3      101x171        1.199x   <- round-3 default
-     1152^2       2x4      143x132        1.165x
-     1280^2       2x3      143x171        1.132x
-     1536^2       2x2      143x248        1.095x
-  encode is far lighter (~3.8 GiB at 1024^2): 2x2 / 1x3 grids should fit
-  outright (1.095x / 1.069x vs the 1.203x of the 1024^2 default).
+     1088^2       2x4      139x126        1.081x   <- serving default
+     1280^2       2x3      139x166        1.068x
+     1536^2       2x2      139x244        1.047x
+  (1152^2 plans the same 2x4 grid as 1088^2 at this overlap.)
+  encode is far lighter (~3.8 GiB at 1024^2): 1536^2 -> 2x2 of 139x244
+  (1.047x), 2176^2 -> 1x2 of 270x244 (1.017x), vs 1.105x at 1024^2.
 
 Run on the TPU (one lane at a time keeps OOM blast radius small):
-  python tools/tile_probe.py decode 1152 1280
+  python tools/tile_probe.py decode 1280 1536
   python tools/tile_probe.py encode 1536 2176
 Prints one JSON line per probe; failures are caught and reported.
 """
@@ -32,6 +36,8 @@ import _bootstrap  # noqa: F401,E402
 
 FRAMES = 5
 H4K, W4K = 2160, 3840
+OV_PX = 64      # serving overlap (see module docstring)
+OV_LAT = OV_PX // 8
 
 
 def _force(x):
@@ -52,7 +58,7 @@ def probe(kind: str, tile_px: int):
     vae = VideoVAE(init_vae_params(key, VAE_V3, dtype=jnp.bfloat16), VAE_V3)
     lt = tile_px // 8
     h, w = H4K // 8, W4K // 8
-    ys, th, xs, tw = _plan_grid(h, w, lt * lt, 16, 16)
+    ys, th, xs, tw = _plan_grid(h, w, lt * lt, OV_LAT, OV_LAT)
     grid = (len(ys), len(xs))
     red = grid[0] * grid[1] * th * tw / (h * w)
     out = {"kind": kind, "tile_px": tile_px, "grid": grid,
@@ -64,12 +70,12 @@ def probe(kind: str, tile_px: int):
                                   jnp.bfloat16)
             t0 = time.perf_counter()
             _force(vae.decode(z, tiled=True, tile_size=(tile_px, tile_px),
-                              tile_overlap=(128, 128), tile_mode="uniform"))
+                              tile_overlap=(OV_PX, OV_PX), tile_mode="uniform"))
             out["compile_plus_run_s"] = round(time.perf_counter() - t0, 2)
             t0 = time.perf_counter()
             _force(vae.decode(z + 1, tiled=True,
                               tile_size=(tile_px, tile_px),
-                              tile_overlap=(128, 128), tile_mode="uniform"))
+                              tile_overlap=(OV_PX, OV_PX), tile_mode="uniform"))
             out["run_s"] = round(time.perf_counter() - t0, 2)
         else:
             x = jax.random.uniform(jax.random.fold_in(key, 2),
@@ -77,12 +83,12 @@ def probe(kind: str, tile_px: int):
                                    -1.0, 1.0)
             t0 = time.perf_counter()
             _force(vae.encode(x, tiled=True, tile_size=(tile_px, tile_px),
-                              tile_overlap=(128, 128), tile_mode="uniform"))
+                              tile_overlap=(OV_PX, OV_PX), tile_mode="uniform"))
             out["compile_plus_run_s"] = round(time.perf_counter() - t0, 2)
             t0 = time.perf_counter()
             _force(vae.encode(x - 1, tiled=True,
                               tile_size=(tile_px, tile_px),
-                              tile_overlap=(128, 128), tile_mode="uniform"))
+                              tile_overlap=(OV_PX, OV_PX), tile_mode="uniform"))
             out["run_s"] = round(time.perf_counter() - t0, 2)
         out["ok"] = True
     except Exception as exc:  # noqa: BLE001 — report OOMs as data
@@ -108,7 +114,7 @@ def probe_mem(kind: str, tile_px: int):
     params = init_vae_params(key, VAE_V3, dtype=jnp.bfloat16)
     lt = tile_px // 8
     h, w = H4K // 8, W4K // 8
-    ys, th, xs, tw = _plan_grid(h, w, lt * lt, 16, 16)
+    ys, th, xs, tw = _plan_grid(h, w, lt * lt, OV_LAT, OV_LAT)
     out = {"kind": f"{kind}_mem", "tile_px": tile_px,
            "grid": (len(ys), len(xs)), "tile_latent": (th, tw),
            "redundancy": round(len(ys) * len(xs) * th * tw / (h * w), 3)}

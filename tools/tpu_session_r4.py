@@ -7,7 +7,7 @@ rest. Results append as JSON lines to the log path given as the first
 positional argument (default /tmp/tpu_session_r4.jsonl) as they land.
 
 Order (most valuable first, in case the tunnel dies mid-run):
-  1. decode tile memory probes (compile-only memory_analysis): 1152, 1280
+  1. decode tile memory probes (compile-only memory_analysis): 1280, 1536
   2. decode tile RUN probes for caps whose memory fits (< ~15.5 GiB)
   3. encode tile memory + run probes: 1536, 2176
   4. conv_in formulation study
@@ -127,8 +127,10 @@ def main():
     from tools import tile_probe
 
     # 1+2: decode --------------------------------------------------------
-    runnable = [1088]  # known-good r3 default as timing baseline
-    for px in (1152, 1280):
+    # 1088 is the serving default (2x4 of 139x126 at the 64 px serving
+    # overlap); 1280/1536 are the next grid-frontier steps (2x3 / 2x2).
+    runnable = [1088]
+    for px in (1280, 1536):
         r = guard(f"decode_mem_{px}", lambda p=px: tile_probe.probe_mem("decode", p))
         if r and r.get("ok") and r.get("total_gib", 99) < HBM_BUDGET_GIB:
             runnable.append(px)
