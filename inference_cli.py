@@ -84,6 +84,17 @@ def parse_arguments():
                         "ref = the reference's stride-sweep layout")
 
     perf = p.add_argument_group("Performance")
+    perf.add_argument("--preset", type=str, default=None,
+                      choices=["quality", "throughput"],
+                      help="flag bundle (explicit flags win): 'quality' = "
+                           "reference-parity defaults; 'throughput' = the "
+                           "accuracy-gated TPU serving config behind the "
+                           "bench headline (w8a8 DiT, tiled VAE with "
+                           "1088/1024 px tiles at 64 px overlap — gates: "
+                           "w8a8 pipeline PSNR >= 69 dB vs the fp32 oracle, "
+                           "tiled-vs-untiled seams unchanged vs the 128 px "
+                           "default; tests/test_pipeline_oracle.py, "
+                           "tests/test_vae_tiling.py)")
     perf.add_argument("--attention_mode", type=str, default="flash",
                       choices=["flash", "xla", "sdpa", "flash_attn"],
                       help="flash = Pallas kernel; xla/sdpa = XLA attention")
@@ -165,6 +176,16 @@ def parse_arguments():
     d.add_argument("--profile_dir", type=str, default=None,
                    help="capture jax profiler traces per phase")
     args = p.parse_args()
+    if args.preset == "throughput":
+        # Apply the serving bundle only where the user left the default,
+        # so explicit flags always win over the preset.
+        bundle = dict(quant="w8a8", tile_mode="uniform",
+                      vae_encode_tiled=True, vae_decode_tiled=True,
+                      vae_encode_tile_size=1024, vae_decode_tile_size=1088,
+                      vae_encode_tile_overlap=64, vae_decode_tile_overlap=64)
+        for name, val in bundle.items():
+            if getattr(args, name) == p.get_default(name):
+                setattr(args, name, val)
     if args.resolution <= 0:
         p.error("--resolution must be positive")
     if args.max_resolution < 0:

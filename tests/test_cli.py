@@ -176,3 +176,27 @@ def test_chunked_equals_unchunked_on_batch_boundaries(tmp_path, patched_cli):
              for a, b in ((0, 5), (5, 10), (10, 12))]
     np.testing.assert_allclose(np.concatenate(parts), full,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_preset_throughput_bundle(tmp_path):
+    """--preset throughput applies the accuracy-gated serving bundle, but
+    explicit flags always win over the preset."""
+    inp, out = tmp_path / "x.png", tmp_path / "y.png"
+    video_io.write_image(str(inp),
+                         np.zeros((8, 8, 3), np.float32))
+    a = _args(inp, out, preset="throughput")
+    assert a.quant == "w8a8"
+    assert a.vae_decode_tiled and a.vae_encode_tiled
+    assert a.vae_decode_tile_size == 1088
+    assert a.vae_decode_tile_overlap == 64
+    assert a.vae_encode_tile_overlap == 64
+    assert a.tile_mode == "uniform"
+    # explicit flag beats the preset
+    b = _args(inp, out, preset="throughput", quant="q8",
+              vae_decode_tile_size=512)
+    assert b.quant == "q8" and b.vae_decode_tile_size == 512
+    assert b.vae_decode_tiled  # rest of the bundle still applies
+    # no preset: reference-parity defaults untouched
+    c = _args(inp, out)
+    assert c.quant == "none" and not c.vae_decode_tiled
+    assert c.vae_decode_tile_overlap == 128
