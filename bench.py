@@ -428,7 +428,10 @@ _EST_PHASE_S = 600.0
 def _lanes():
     env = os.environ.get("BENCH_LANES")
     if env is None:
-        return ["dit_w8a8", "dit_7b_q8", "dp_scaling"]
+        # Priority order under the budget estimator: 7B w8a8 (the int8-MXU
+        # serving config, ~2x q8's matmul rate) outranks 7B q8, whose
+        # 0.83 f/s is already on record from the round-3 capture.
+        return ["dit_w8a8", "dit_7b_w8a8", "dit_7b_q8", "dp_scaling"]
     return [x for x in env.split(",") if x]
 
 
