@@ -102,6 +102,7 @@ def run(T=5, H=1024, W=1024, co=128, dtype=jnp.bfloat16, iters=3,
 
     ref = None
     flops = 2 * T * H * W * 27 * 3 * co
+    summary = {}
     for name, fn in VARIANTS.items():
         jf = jax.jit(fn)
         out = jf(x, w, b)
@@ -121,7 +122,9 @@ def run(T=5, H=1024, W=1024, co=128, dtype=jnp.bfloat16, iters=3,
             dt = (time.perf_counter() - t0) / iters
             res["ms"] = round(dt * 1e3, 2)
             res["tf_per_s"] = round(flops / dt / 1e12, 2)
+            summary[name] = res["ms"]
         print(json.dumps(res), flush=True)
+    return summary
 
 
 if __name__ == "__main__":

@@ -114,6 +114,8 @@ def main():
             print(f"  {name:34s} {r['s'] * 1e3:8.2f} ms   {rate:7.1f} T/s")
         else:
             print(f"  {name:34s} {r}")
+    return {k: (round(v["s"] * 1e3, 2) if isinstance(v, dict) else v)
+            for k, v in results.items()}
 
 
 if __name__ == "__main__":
