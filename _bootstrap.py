@@ -7,6 +7,7 @@ the same way). This registers it in sys.modules under the importable name
 the CLI, tests, and benchmarks.
 """
 
+import importlib
 import importlib.util
 import pathlib
 import sys
@@ -17,6 +18,12 @@ _PKG_DIR = pathlib.Path(__file__).resolve().parent / "comfyui-seedvr2_tpu"
 
 def ensure_package() -> None:
     if _PKG_NAME in sys.modules:
+        return
+    if not _PKG_DIR.is_dir():
+        # pip-installed layout: the package-dir mapping in pyproject.toml
+        # already makes `seedvr2_tpu` a plain importable package and this
+        # module ships only as the checkout-layout shim — import directly.
+        importlib.import_module(_PKG_NAME)
         return
     spec = importlib.util.spec_from_file_location(
         _PKG_NAME,

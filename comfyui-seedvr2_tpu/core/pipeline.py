@@ -253,7 +253,8 @@ def upscale_all_batches(
         from ..utils.text_embeds import load_text_embeddings
 
         ctx["text_embeds"] = load_text_embeddings(
-            [ctx.get("model_dir"), "."], debug)
+            [ctx.get("model_dir"), "."], debug,
+            txt_dim=runner.dit_cfg.txt_in_dim)
 
     n = len(ctx["all_latents"])
     noises, conds = [], []

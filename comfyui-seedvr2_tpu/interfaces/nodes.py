@@ -162,7 +162,8 @@ class SeedVR2VideoUpscaler:
 
         ctx = pipeline.setup_generation_context(debug=debug,
                                                 model_dir=model_dir)
-        ctx["text_embeds"] = load_text_embeddings([model_dir, "."], debug)
+        ctx["text_embeds"] = load_text_embeddings(
+            [model_dir, "."], debug, txt_dim=runner.dit_cfg.txt_in_dim)
         ctx = pipeline.encode_all_batches(
             runner, ctx, frames, debug=debug, batch_size=batch_size,
             uniform_batch_size=uniform_batch_size, seed=seed,

@@ -27,11 +27,16 @@ def _load_one(path: str) -> np.ndarray:
     raise ValueError(f"unsupported embedding format: {path}")
 
 
-def load_text_embeddings(search_dirs, debug=None) -> Dict[str, np.ndarray]:
+def load_text_embeddings(search_dirs, debug=None,
+                         txt_dim: int = TXT_DIM) -> Dict[str, np.ndarray]:
     """Find pos_emb/neg_emb in the given directories (model_dir, cwd, ...).
 
     Falls back to zero embeddings with a warning if none are found (enough for
-    benchmarking; real runs should provide the files next to the weights)."""
+    benchmarking; real runs should provide the files next to the weights).
+    `txt_dim` is the serving model's text width (DiTConfig.txt_in_dim — 5120
+    for the published 3B/7B, but config-sniffed checkpoints can differ): the
+    zero fallback is sized to it, and a loaded file that doesn't match it
+    fails here with a clear message instead of as a shape error mid-DiT."""
     names = {"pos": ("pos_emb.pt", "pos_emb.safetensors", "pos_emb.npy"),
              "neg": ("neg_emb.pt", "neg_emb.safetensors", "neg_emb.npy")}
     out: Dict[str, Optional[np.ndarray]] = {"pos": None, "neg": None}
@@ -44,13 +49,18 @@ def load_text_embeddings(search_dirs, debug=None) -> Dict[str, np.ndarray]:
             for c in candidates:
                 p = os.path.join(d, c)
                 if os.path.isfile(p):
-                    out[kind] = _load_one(p)
+                    emb = _load_one(p)
+                    if emb.shape[-1] != txt_dim:
+                        raise ValueError(
+                            f"{p}: text embedding dim {emb.shape[-1]} does "
+                            f"not match the model's txt_in_dim {txt_dim}")
+                    out[kind] = emb
                     break
     if out["pos"] is None:
         if debug:
             debug.log("text embeddings not found; using zeros",
                       level="WARNING", category="setup", force=True)
-        out["pos"] = np.zeros((POS_LEN, TXT_DIM), np.float32)
+        out["pos"] = np.zeros((POS_LEN, txt_dim), np.float32)
     if out["neg"] is None:
-        out["neg"] = np.zeros((NEG_LEN, TXT_DIM), np.float32)
+        out["neg"] = np.zeros((NEG_LEN, txt_dim), np.float32)
     return {"pos": out["pos"], "neg": out["neg"]}

@@ -263,7 +263,8 @@ def process_frames(runner, frames: np.ndarray, args, debug,
                                             model_dir=args.model_dir,
                                             tile_debug=args.tile_debug)
     ctx["text_embeds"] = load_text_embeddings(
-        [args.model_dir, os.path.dirname(os.path.abspath(__file__))], debug)
+        [args.model_dir, os.path.dirname(os.path.abspath(__file__))], debug,
+        txt_dim=runner.dit_cfg.txt_in_dim)
     debug.checkpoint("pre_phase1")
     with debug.profile("phase1_encode"):
         ctx = pipeline.encode_all_batches(

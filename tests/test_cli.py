@@ -47,7 +47,7 @@ def patched_cli(monkeypatch, tiny_runner):
     monkeypatch.setattr(inference_cli, "make_runner",
                         lambda args, debug: tiny_runner)
     monkeypatch.setattr(inference_cli, "load_text_embeddings",
-                        lambda dirs, debug=None: embeds)
+                        lambda dirs, debug=None, txt_dim=None: embeds)
     return inference_cli
 
 
