@@ -13,6 +13,21 @@ a wedged C++ RPC.
 import time
 
 
+def force_platform(device: str) -> None:
+    """Pin jax to `device` ("cpu" or "tpu") before first device use.
+
+    This image preloads jax via sitecustomize, so JAX_PLATFORMS set in the
+    process environment is read before user code runs and later changes are
+    ignored; the config-update path still works until the first device is
+    touched. Used by the CLI's --device flag so debug/CI runs don't try to
+    acquire the TPU tunnel at all.
+    """
+    import jax
+
+    jax.config.update("jax_platform_name", device)
+    jax.config.update("jax_platforms", device)
+
+
 def acquire_backend(give_up=None, note=print,
                     initial_delay: float = 20.0,
                     max_delay: float = 120.0,

@@ -172,6 +172,12 @@ def parse_arguments():
                          "torch-free .npy files in DST_DIR, then exit")
 
     d = p.add_argument_group("Debug")
+    d.add_argument("--device", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="pin the jax platform (default: auto = whatever the "
+                        "image provides; 'cpu' runs the whole pipeline "
+                        "without acquiring the TPU — useful for debugging "
+                        "and CI; replaces the reference's --cuda_device)")
     d.add_argument("--debug", action="store_true")
     d.add_argument("--profile_dir", type=str, default=None,
                    help="capture jax profiler traces per phase")
@@ -485,6 +491,10 @@ def process_directory(args, debug):
 
 def main():
     args = parse_arguments()
+    if args.device != "auto":
+        from seedvr2_tpu.utils.backend import force_platform
+
+        force_platform(args.device)
     from seedvr2_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -200,3 +200,16 @@ def test_preset_throughput_bundle(tmp_path):
     c = _args(inp, out)
     assert c.quant == "none" and not c.vae_decode_tiled
     assert c.vae_decode_tile_overlap == 128
+
+
+def test_device_flag(tmp_path):
+    """--device pins the jax platform; default stays auto (no pinning)."""
+    inp, out = tmp_path / "x.png", tmp_path / "y.png"
+    video_io.write_image(str(inp), np.zeros((8, 8, 3), np.float32))
+    a = _args(inp, out)
+    assert a.device == "auto"
+    b = _args(inp, out, device="cpu")
+    assert b.device == "cpu"
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        _args(inp, out, device="cuda")
