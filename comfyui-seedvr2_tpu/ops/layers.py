@@ -91,10 +91,16 @@ def linear(x: jnp.ndarray, p: dict,
         from .quant_matmul import affine_quant_linear
 
         return affine_quant_linear(x, p)
-    out = jnp.dot(x, p["w"].astype(x.dtype),
-                  preferred_element_type=jnp.float32).astype(x.dtype)
+    acc = jnp.dot(x, p["w"].astype(x.dtype),
+                  preferred_element_type=jnp.float32)
     if psum_axis is not None:
-        out = jax.lax.psum(out, psum_axis)
+        # psum the fp32 partials: each chip's K-slice product must keep its
+        # accumulator precision across the reduction, matching the
+        # single-chip result to reduction order. Rounding to bf16 BEFORE
+        # the psum loses mantissa bits per partial and compounds per layer
+        # (~1% pixel error at 2 chips on the tiny oracle).
+        acc = jax.lax.psum(acc, psum_axis)
+    out = acc.astype(x.dtype)
     if "b" in p and p["b"] is not None:
         out = out + p["b"].astype(x.dtype)
     return out

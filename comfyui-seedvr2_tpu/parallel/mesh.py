@@ -40,10 +40,18 @@ def factorize(n: int, ways: int = 3) -> Sequence[int]:
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names=("dp", "fsdp", "tp")) -> Mesh:
+              axis_names=("dp", "fsdp", "tp"),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over the first `n_devices` local devices. With `shape=None`
+    the device count is factorized near-equally over the axes; an explicit
+    `shape` pins each axis extent (e.g. CLI --tensor_parallel -> (dp, tp))."""
     devices = jax.devices()
     n = n_devices or len(devices)
-    shape = factorize(n, len(axis_names))
+    if shape is None:
+        shape = factorize(n, len(axis_names))
+    elif len(shape) != len(axis_names) or int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {tuple(shape)} does not lay out "
+                         f"{n} devices over axes {tuple(axis_names)}")
     devs = np.asarray(devices[:n]).reshape(shape)
     return Mesh(devs, axis_names)
 

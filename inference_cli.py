@@ -102,6 +102,12 @@ def parse_arguments():
                       choices=["auto", "off"],
                       help="shard batches over all local TPU chips (replaces "
                            "the reference's --cuda_device fan-out)")
+    perf.add_argument("--tensor_parallel", type=int, default=1,
+                      help="shard the DiT's attention heads / mlp hidden "
+                           "over this many chips (parallel/tp.py) — serves "
+                           "7B HBM-resident on a v5e pod slice without "
+                           "block streaming; composes with data parallel "
+                           "(dp = local_devices / tensor_parallel)")
     perf.add_argument("--num_hosts", type=int, default=1,
                       help="multi-host (DCN) frame fan-out: run the same "
                            "command on every host with its --host_index, "
@@ -204,6 +210,8 @@ def parse_arguments():
         p.error("--temporal_overlap must be smaller than --chunk_size")
     if args.seed < 0:
         p.error("--seed must be >= 0")
+    if args.tensor_parallel < 1:
+        p.error("--tensor_parallel must be >= 1")
     # Flags accepted for reference API compatibility that have no effect
     # on TPU (everything is jit-compiled; IO params always stay in HBM,
     # reference blockswap.py:459-536): warn once when actually passed.
@@ -225,18 +233,42 @@ def default_output_path(input_path: str, out_format: str) -> str:
     return base + suffix + ext
 
 
+def build_mesh(args, n_devices: int):
+    """Mesh the CLI's parallelism flags ask for, or None (single device).
+
+    --tensor_parallel T shards the DiT over a 'tp' axis of extent T;
+    --data_parallel auto spreads batches over the remaining chips
+    (dp = n_devices // T). dp off + T > 1 uses only T chips."""
+    tp = getattr(args, "tensor_parallel", 1)
+    dp_auto = getattr(args, "data_parallel", "auto") == "auto"
+    from seedvr2_tpu.parallel.mesh import make_mesh
+
+    if tp > 1:
+        if n_devices % tp:
+            raise ValueError(
+                f"--tensor_parallel {tp} does not divide the "
+                f"{n_devices} local devices")
+        dp = n_devices // tp if dp_auto else 1
+        return make_mesh(dp * tp, axis_names=("dp", "tp"), shape=(dp, tp))
+    if dp_auto and n_devices > 1:
+        return make_mesh(n_devices, axis_names=("dp",))
+    return None
+
+
 def make_runner(args, debug):
     runner = _configure(args, debug)
-    if getattr(args, "data_parallel", "auto") == "auto":
-        import jax
+    import jax
 
-        if len(jax.local_devices()) > 1:
-            from seedvr2_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(len(jax.local_devices()), axis_names=("dp",))
-            runner.attach_mesh(mesh)
-            debug.log(f"data parallel over {mesh.shape['dp']} chips",
-                      category="setup", force=True)
+    try:
+        mesh = build_mesh(args, len(jax.local_devices()))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        sys.exit(2)
+    if mesh is not None:
+        runner.attach_mesh(mesh)
+        layout = " x ".join(f"{ax}={n}" for ax, n in mesh.shape.items())
+        debug.log(f"multi-chip serving over {layout}",
+                  category="setup", force=True)
     return runner
 
 
