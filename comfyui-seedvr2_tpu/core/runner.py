@@ -108,11 +108,12 @@ class VideoDiffusionRunner:
         """Enable multi-chip inference. Batches shard over the 'dp' axis
         (replacing the reference's per-GPU subprocess fan-out,
         inference_cli.py:1048-1214). When the mesh has a 'tp' axis > 1 and
-        the DiT weights are dense + divisible, the DiT serves
-        TENSOR-PARALLEL: attention heads and mlp hidden shard over tp
-        (parallel/tp.py — BASELINE config #5, 7B HBM-resident on a v5e-8)
-        and the denoise step runs as a shard_map with one psum after each
-        row-sharded projection; otherwise params replicate."""
+        the DiT weights divide (any serving layout — dense, w8a8, q8,
+        q4k), the DiT serves TENSOR-PARALLEL: attention heads and mlp
+        hidden shard over tp (parallel/tp.py — BASELINE config #5, 7B
+        HBM-resident on a v5e-8) and the denoise step runs as a shard_map
+        with one psum after each row-sharded projection; otherwise params
+        replicate (with a warning — the user asked for tp)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.mesh = mesh
@@ -125,6 +126,13 @@ class VideoDiffusionRunner:
                 self.dit_params, self.tp_specs = tp_shard_dit_params(
                     mesh, self.dit_params, self.dit_cfg)
                 self._denoise_cache.clear()
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"tensor parallelism requested (tp={tp}) but the DiT "
+                    f"weight layout/dims do not shard that many ways — "
+                    f"serving replicated instead", stacklevel=2)
         if self.dit_params is not None and self.tp_specs is None:
             self.dit_params = jax.device_put(
                 self.dit_params, NamedSharding(mesh, P()))

@@ -87,9 +87,11 @@ def int8_matmul(xq: jnp.ndarray, wq: jnp.ndarray, xs: jnp.ndarray,
         m_pad = _round_up(m, block_m)
         xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
         xs = jnp.pad(xs, (0, m_pad - m))
-    assert k % 256 == 0 and n % 256 == 0, "weight dims must be lane-tileable"
-    block_k = _block_div(k, block_k)
-    block_n = _block_div(n, block_n)
+    # full dims prefer 256-quantum blocks (tuned); tp-local shards of an
+    # odd-multiple N (e.g. 3456 over 2 chips) fall back to the 128 lane tile
+    assert k % 128 == 0 and n % 128 == 0, "weight dims must be lane-tileable"
+    block_k = _block_div(k, block_k, quantum=256 if k % 256 == 0 else 128)
+    block_n = _block_div(n, block_n, quantum=256 if n % 256 == 0 else 128)
 
     out = pl.pallas_call(
         _mm_kernel,
@@ -288,22 +290,40 @@ def _w8a8_matmul_2d(x2d, wq, ws, interpret: bool):
 
 
 def w8a8_linear(x, wq: jnp.ndarray, ws: jnp.ndarray,
-                bias=None, interpret: bool = False) -> jnp.ndarray:
+                bias=None, interpret: bool = False,
+                psum_axis=None) -> jnp.ndarray:
     """Drop-in linear: quantize activations per token, int8 MXU matmul.
 
     x may be a float array OR an ops.fused_quant.PreQuantized (activations
-    already int8 from a fused producer kernel — skips the quantize pass)."""
+    already int8 from a fused producer kernel — skips the quantize pass).
+
+    psum_axis: row-sharded tensor parallelism (parallel/tp.py). Each chip
+    quantizes its LOCAL K-slice per token (a finer scale grid than the
+    single-chip full-K absmax — equal-or-lower quantization error), the
+    fp32-scaled partials psum over the axis, and the replicated bias
+    applies once after the reduction."""
     from .fused_quant import PreQuantized
 
+    out_dtype = jnp.float32 if psum_axis is not None else None
     if isinstance(x, PreQuantized):
         lead = x.q.shape[:-1]
         k = x.q.shape[-1]
         out = int8_matmul(x.q.reshape(-1, k), wq, x.s.reshape(-1), ws,
-                          out_dtype=x.dtype, interpret=interpret)
+                          out_dtype=out_dtype or x.dtype, interpret=interpret)
+        res_dtype = x.dtype
     else:
         lead = x.shape[:-1]
         k = x.shape[-1]
-        out = _w8a8_matmul_2d(x.reshape(-1, k), wq, ws, interpret)
+        x2d = x.reshape(-1, k)
+        if psum_axis is not None:
+            xq, xs = quantize_activations(x2d)
+            out = int8_matmul(xq, wq, xs, ws, out_dtype=jnp.float32,
+                              interpret=interpret)
+        else:
+            out = _w8a8_matmul_2d(x2d, wq, ws, interpret)
+        res_dtype = x.dtype
+    if psum_axis is not None:
+        out = jax.lax.psum(out, psum_axis).astype(res_dtype)
     out = out.reshape(*lead, wq.shape[1])
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -72,25 +72,28 @@ def linear(x: jnp.ndarray, p: dict,
     serving mode (per-token dynamic activation quantization).
 
     psum_axis: for row-sharded tensor parallelism (parallel/tp.py) — the
-    local partial product is psum'd over the named mesh axis BEFORE the
-    bias so the bias is applied exactly once. Dense weights only.
+    local partial product is psum'd in fp32 over the named mesh axis
+    BEFORE the dtype round and the bias, so precision matches single-chip
+    and the bias is applied exactly once. Supported by every weight
+    layout (dense, w8a8, q8, qa).
 
     x may be an ops.fused_quant.PreQuantized (pre-quantized activations
     from a fused producer kernel) — valid only with w8a8 weights."""
     if "w8a8" in p:
         from .int8_matmul import w8a8_linear
 
-        return w8a8_linear(x, p["w8a8"], p["ws"], bias=p.get("b"))
+        return w8a8_linear(x, p["w8a8"], p["ws"], bias=p.get("b"),
+                           psum_axis=psum_axis)
     if isinstance(x, tuple):
         raise TypeError("PreQuantized input requires w8a8 weights")
     if "q8" in p:
         from .quant_matmul import quant_linear
 
-        return quant_linear(x, p)
+        return quant_linear(x, p, psum_axis=psum_axis)
     if "qa" in p:  # native K-quant (Q4_K/Q5_K) affine serving layout
         from .quant_matmul import affine_quant_linear
 
-        return affine_quant_linear(x, p)
+        return affine_quant_linear(x, p, psum_axis=psum_axis)
     acc = jnp.dot(x, p["w"].astype(x.dtype),
                   preferred_element_type=jnp.float32)
     if psum_axis is not None:
@@ -128,8 +131,9 @@ def mlp_forward(x: jnp.ndarray, p: dict, mlp_type: str,
             if "w8a8" in p["proj_out"]:
                 # fused silu*up + per-row quantize: one read of g/u, int8
                 # write — replaces XLA's separate absmax/round passes
-                return linear(silu_mul_quantize(g, u), p["proj_out"])
-            return linear(silu(g) * u, p["proj_out"])
+                return linear(silu_mul_quantize(g, u), p["proj_out"],
+                              psum_axis=psum_axis)
+            return linear(silu(g) * u, p["proj_out"], psum_axis=psum_axis)
         return linear(silu(linear(x, p["proj_in_gate"])) * linear(x, p["proj_in"]),
                       p["proj_out"], psum_axis=psum_axis)
     return linear(gelu_tanh(linear(x, p["proj_in"])), p["proj_out"],

@@ -48,18 +48,22 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc, *, n_k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
+                                             "interpret", "out_dtype"))
 def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
                     block_m: int = 256, block_n: int = 512,
-                    block_k: int = 512, interpret: bool = False):
-    """x: (M, K) bf16; q: (K, N) int8; scales: (K//32, N) -> (M, N) x.dtype."""
+                    block_k: int = 512, interpret: bool = False,
+                    out_dtype=None):
+    """x: (M, K) bf16; q: (K, N) int8; scales: (K//32, N) -> (M, N) x.dtype
+    (or out_dtype — fp32 keeps the accumulator exact for a cross-chip psum
+    of K-sharded partials, parallel/tp.py)."""
+    out_dtype = out_dtype or x.dtype
     m, k = x.shape
     n = q.shape[1]
     assert q.shape[0] == k and scales.shape == (k // GROUP, n)
     if not interpret and jax.default_backend() != "tpu":
         # dense emulation for CPU correctness runs / virtual-device meshes
         return jnp.dot(x.astype(jnp.float32), dequantize_q8(q, scales),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+                       preferred_element_type=jnp.float32).astype(out_dtype)
 
     block_m = min(block_m, _round_up(m, 8))
     m_pad = _round_up(m, block_m)
@@ -90,7 +94,7 @@ def quant_matmul_q8(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -139,14 +143,16 @@ def _aqmm_kernel(x_ref, q_ref, s_ref, m_ref, o_ref, acc, *, n_k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
+                                             "interpret", "out_dtype"))
 def quant_matmul_affine(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
                         m: jnp.ndarray, block_m: int = 256,
                         block_n: int = 512, block_k: int = 512,
-                        interpret: bool = False):
+                        interpret: bool = False, out_dtype=None):
     """x: (M, K); q: (K, N) int8 raw quants; s, m: (K//32, N) f32 affine
-    per-group scale/min -> (M, N) x.dtype. Serves GGUF K-quants natively
+    per-group scale/min -> (M, N) x.dtype (or out_dtype — fp32 for
+    tp psum of K-sharded partials). Serves GGUF K-quants natively
     (no requantization error on top of the q4 grid)."""
+    out_dtype = out_dtype or x.dtype
     mm, k = x.shape
     n = q.shape[1]
     assert q.shape[0] == k and s.shape == (k // GROUP, n) and m.shape == s.shape
@@ -154,7 +160,7 @@ def quant_matmul_affine(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
         w = (q.astype(jnp.float32).reshape(k // GROUP, GROUP, n)
              * s[:, None, :] - m[:, None, :]).reshape(k, n)
         return jnp.dot(x.astype(jnp.float32), w,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+                       preferred_element_type=jnp.float32).astype(out_dtype)
 
     block_m = min(block_m, _round_up(mm, 8))
     m_pad = _round_up(mm, block_m)
@@ -189,7 +195,7 @@ def quant_matmul_affine(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -294,25 +300,38 @@ def quantize_dit_params(params: dict, min_dim: int = 1024) -> dict:
     return convert(params)
 
 
-def quant_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+def quant_linear(x: jnp.ndarray, p: dict, psum_axis=None) -> jnp.ndarray:
     """linear() counterpart for quantized params {"q8", "scales", "b"?}.
-    x: (..., K)."""
+    x: (..., K).
+
+    psum_axis: row-sharded tensor parallelism (parallel/tp.py) — the local
+    K-slice partial comes out of the kernel in fp32, is psum'd over the
+    named mesh axis, and rounds to x.dtype once, so the bias (replicated)
+    applies exactly once after the reduction."""
     batch_shape = x.shape[:-1]
     k = x.shape[-1]
-    out = quant_matmul_q8(x.reshape(-1, k), p["q8"], p["scales"])
-    out = out.reshape(*batch_shape, -1)
+    out = quant_matmul_q8(x.reshape(-1, k), p["q8"], p["scales"],
+                          out_dtype=jnp.float32 if psum_axis else None)
+    if psum_axis is not None:
+        out = jax.lax.psum(out, psum_axis)
+    out = out.astype(x.dtype).reshape(*batch_shape, -1)
     if "b" in p and p["b"] is not None:
         out = out + p["b"].astype(out.dtype)
     return out
 
 
-def affine_quant_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+def affine_quant_linear(x: jnp.ndarray, p: dict,
+                        psum_axis=None) -> jnp.ndarray:
     """linear() counterpart for native K-quant params {"qa", "s", "m",
-    "b"?} (Q4_K/Q5_K served without requantization). x: (..., K)."""
+    "b"?} (Q4_K/Q5_K served without requantization). x: (..., K).
+    psum_axis: see quant_linear."""
     batch_shape = x.shape[:-1]
     k = x.shape[-1]
-    out = quant_matmul_affine(x.reshape(-1, k), p["qa"], p["s"], p["m"])
-    out = out.reshape(*batch_shape, -1)
+    out = quant_matmul_affine(x.reshape(-1, k), p["qa"], p["s"], p["m"],
+                              out_dtype=jnp.float32 if psum_axis else None)
+    if psum_axis is not None:
+        out = jax.lax.psum(out, psum_axis)
+    out = out.astype(x.dtype).reshape(*batch_shape, -1)
     if "b" in p and p["b"] is not None:
         out = out + p["b"].astype(out.dtype)
     return out

@@ -32,22 +32,67 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.configs import DiTConfig
 
 
+# weight-layout field names (ops/layers.py linear): the 2-D (K, N) weight,
+# its per-out-channel scale vectors (shard with the columns, replicate on
+# row sharding), and its per-K-group scale planes (shard along K on row
+# sharding, along N on column sharding — they tile the weight exactly).
+_WEIGHT_FIELDS = ("w", "w8a8", "q8", "qa")
+_OUT_VEC_FIELDS = ("ws", "b")
+_KGROUP_FIELDS = ("scales", "s", "m")
+_QUANT_GROUP = 32  # K-group size of the q8/qa layouts (quant_matmul.GROUP)
+
+
+def _weight_field(p: dict):
+    for f in _WEIGHT_FIELDS:
+        if f in p:
+            return f
+    return None
+
+
+def _proj_ok(p: dict, tp: int, shard_rows: bool) -> bool:
+    """Can this projection's weight layout shard tp ways?
+
+    Row sharding of the grouped-quant layouts (q8/qa) additionally needs
+    the per-32-group scale planes to split evenly along K. The int8/quant
+    Pallas kernels also need the sharded dim's LOCAL extent lane-tileable
+    (%128) — only binding on a real TPU backend (CPU runs use the dense
+    emulation path)."""
+    f = _weight_field(p)
+    if f is None:
+        return False
+    k, n = p[f].shape[-2:]
+    dim = k if shard_rows else n
+    if dim % tp:
+        return False
+    if f != "w":
+        if shard_rows and (k // _QUANT_GROUP) % tp:
+            return False
+        if jax.default_backend() == "tpu" and (dim // tp) % 128:
+            return False
+    return True
+
+
 def tp_compatible(params: dict, cfg: DiTConfig, tp: int) -> bool:
-    """Dense weights only (quantized serving modes keep their own kernels),
-    heads and mlp hidden divisible by tp."""
+    """Heads and mlp hidden divisible by tp; every sharded projection's
+    weight layout (dense OR quantized serving — w8a8/q8/qa) splittable."""
     if tp <= 1:
         return False
     if cfg.heads % tp:
         return False
     blk = params["blocks"][0]
     for branch in blk["attn"]["proj_qkv"].values():
-        if "w" not in branch:
+        if not _proj_ok(branch, tp, shard_rows=False):
+            return False
+    for branch in blk["attn"]["proj_out"].values():
+        if not _proj_ok(branch, tp, shard_rows=True):
             return False
     for mlp in blk["mlp"].values():
-        for proj in mlp.values():
-            if isinstance(proj, dict) and "w" not in proj:
-                return False
-        hidden = (mlp["proj_in"]["w"].shape[-1])
+        for name, proj in mlp.items():
+            if isinstance(proj, dict):
+                if not _proj_ok(proj, tp, shard_rows=(name == "proj_out")):
+                    return False
+        f = _weight_field(mlp["proj_in"])
+        hidden = mlp["proj_in"][f].shape[-1]
         if hidden % tp:
             return False
     return True
@@ -68,25 +113,33 @@ def permute_qkv_cols(arr, heads: int, head_dim: int, tp: int):
 
 
 def _block_specs(blk: dict, cfg: DiTConfig, tp: int):
-    """PartitionSpec tree for one transformer block (mirrors the params)."""
+    """PartitionSpec tree for one transformer block (mirrors the params,
+    every weight layout: dense w / w8a8+ws / q8+scales / qa+s+m)."""
 
-    def qkv_spec(p):
-        out = {"w": P(None, "tp")}
-        if "b" in p:
-            out["b"] = P("tp")
-        return out
-
-    def row_spec(p):
-        out = {"w": P("tp", None)}
-        if "b" in p:
-            out["b"] = P()
+    def _spec(p, weight_sp, vec_sp):
+        out = {}
+        for f, leaf in p.items():
+            if leaf is None:
+                out[f] = None
+            elif f in _WEIGHT_FIELDS or f in _KGROUP_FIELDS:
+                out[f] = weight_sp
+            elif f in _OUT_VEC_FIELDS:
+                out[f] = vec_sp
+            else:
+                out[f] = P()
         return out
 
     def col_spec(p):
-        out = {"w": P(None, "tp")}
-        if "b" in p:
-            out["b"] = P("tp")
-        return out
+        """Column (out-dim) sharding: weight + K-group scale planes split
+        their last axis; per-out vectors (ws, b) split with the columns."""
+        return _spec(p, P(None, "tp"), P("tp"))
+
+    def row_spec(p):
+        """Row (K-dim) sharding: weight + K-group planes split axis 0;
+        per-out vectors replicate (applied once after the psum)."""
+        return _spec(p, P("tp", None), P())
+
+    qkv_spec = col_spec
 
     spec = {
         "attn": {
@@ -123,12 +176,14 @@ def tp_shard_dit_params(mesh: Mesh, params: dict,
     for blk in params["blocks"]:
         nb = jax.tree.map(lambda x: x, blk)  # shallow-ish copy of the tree
         for branch, p in nb["attn"]["proj_qkv"].items():
-            p = dict(p)
-            p["w"] = permute_qkv_cols(np.asarray(p["w"]), cfg.heads,
+            # every field of a qkv projection has the packed out dim as its
+            # LAST axis — the (K, N) weight of any layout, the per-32-group
+            # scale planes (K/32, N), and the per-out vectors (ws, b) —
+            # so the head-block permutation applies uniformly
+            p = {f: (permute_qkv_cols(np.asarray(leaf), cfg.heads,
                                       cfg.head_dim, tp)
-            if "b" in p and p["b"] is not None:
-                p["b"] = permute_qkv_cols(np.asarray(p["b"]), cfg.heads,
-                                          cfg.head_dim, tp)
+                     if leaf is not None else None)
+                 for f, leaf in p.items()}
             nb["attn"]["proj_qkv"][branch] = p
         blocks.append(nb)
         blk_specs.append(_block_specs(nb, cfg, tp))

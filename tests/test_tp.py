@@ -105,15 +105,57 @@ def test_tp_with_dp_batches():
         np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5)
 
 
-def test_tp_refuses_quantized():
-    """Quantized serving trees keep their own kernels — tp must fall back
-    to replication, not crash."""
-    from seedvr2_tpu.ops.quant_matmul import quantize_dit_params
+def _psnr(got, ref):
+    mse = float(np.mean((got.astype(np.float64) - ref.astype(np.float64))
+                        ** 2))
+    peak = float(np.max(np.abs(ref))) or 1.0
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-30))
+
+
+def _one_step(runner, noises, conds, txt):
+    return np.asarray(runner.inference(
+        noises=noises, conditions=conds, texts_pos=[txt], texts_neg=[txt],
+        cfg_scale=1.0, steps=1)[0])
+
+
+@pytest.mark.parametrize("quant", ["q8", "q4k", "w8a8"])
+def test_tp_quantized_lanes(quant):
+    """Quantized serving trees shard over tp like dense ones (the 7B w8a8
+    production lane must scale past one chip). q8/qa are weight-only:
+    tp output == single-device output up to fp32 psum reduction order.
+    w8a8 row-sharded projections quantize activations per LOCAL K-slice
+    (a finer scale grid than the single-chip full-K absmax), so the gate
+    is accuracy vs the dense fp32 forward: the tp lane must be at least
+    as close as the single-chip lane, minus a small slack."""
+    from seedvr2_tpu.ops.int8_matmul import quantize_dit_params_w8a8
+    from seedvr2_tpu.ops.quant_matmul import (quantize_dit_params,
+                                              quantize_dit_params_affine4)
 
     cfg = small_test_config()
-    params = quantize_dit_params(
-        init_dit_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32),
-        min_dim=16)
-    assert not tp_compatible(params, cfg, 2)
-    r = _runner(cfg, params, mesh=_mesh(1, 2))
-    assert r.tp_specs is None
+    dense = init_dit_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
+    if quant == "q8":
+        params = quantize_dit_params(dense, min_dim=16)
+    elif quant == "q4k":
+        params = quantize_dit_params_affine4(dense, min_dim=16)
+    else:
+        params = quantize_dit_params_w8a8(dense, min_dim=16, align=16)
+    assert params is not dense and tp_compatible(params, cfg, 2)
+    noises, blurs, txt = _inputs(cfg, seed=5)
+
+    base = _runner(cfg, params)
+    conds = [base.get_condition(n, b) for n, b in zip(noises, blurs)]
+    out_single = _one_step(base, noises, conds, txt)
+
+    tp_run = _runner(cfg, params, mesh=_mesh(1, 2))
+    assert tp_run.tp_specs is not None, "tp sharding did not engage"
+    out_tp = _one_step(tp_run, noises, conds, txt)
+
+    if quant in ("q8", "q4k"):
+        np.testing.assert_allclose(out_tp, out_single, rtol=1e-4, atol=1e-4)
+    else:
+        out_dense = _one_step(_runner(cfg, dense), noises,
+                              [base.get_condition(n, b)
+                               for n, b in zip(noises, blurs)], txt)
+        p_single = _psnr(out_single, out_dense)
+        p_tp = _psnr(out_tp, out_dense)
+        assert p_tp >= p_single - 2.0, (p_tp, p_single)
