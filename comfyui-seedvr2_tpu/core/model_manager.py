@@ -218,31 +218,46 @@ def _hbm_bytes_limit() -> Optional[int]:
     return _DEFAULT_HBM_BYTES
 
 
+def _per_chip_dit_bytes(dit_params: dict, shard_ways: int) -> int:
+    """Resident bytes per chip: the transformer blocks shard over the tp
+    axis (their projections dominate; ada/norm are noise), the IO weights
+    (patch in/out, time embedding) replicate."""
+    total = _tree_bytes(dit_params)
+    if shard_ways <= 1:
+        return total
+    blocks_bytes = sum(_tree_bytes(b) for b in dit_params["blocks"])
+    return (total - blocks_bytes) + blocks_bytes // shard_ways
+
+
 def _plan_block_streaming(dit_params: dict, dit_cfg: DiTConfig,
-                          blocks_to_swap: int, debug: Debug):
+                          blocks_to_swap: int, debug: Debug,
+                          shard_ways: int = 1):
     """Decide host-RAM weight tiering (the reference's BlockSwap,
     src/optimization/blockswap.py:88-456).
 
     Returns keep_blocks (blocks pinned in HBM) or None for no streaming.
     Explicit blocks_to_swap > 0 forces it; otherwise it auto-engages when
     the weights would crowd out activations (e.g. 7B fp16 = 16.4 GB >
-    15.5 GB HBM)."""
+    15.5 GB HBM). shard_ways: tensor parallelism — each chip holds only
+    its tp slice, so the budget compares against per-chip bytes (7B over
+    tp=2 fits HBM-resident without streaming)."""
     n = dit_cfg.num_layers
     if blocks_to_swap > 0:
         return max(0, n - min(blocks_to_swap, n))
     limit = _hbm_bytes_limit()
     if limit is None:
         return None
-    total = _tree_bytes(dit_params)
-    if total <= _AUTO_SWAP_FRACTION * limit:
+    per_chip = _per_chip_dit_bytes(dit_params, shard_ways)
+    if per_chip <= _AUTO_SWAP_FRACTION * limit:
         return None
     blocks = dit_params["blocks"]
-    block_bytes = _tree_bytes(blocks[0])
-    io_bytes = total - sum(_tree_bytes(b) for b in blocks)
+    block_bytes = _tree_bytes(blocks[0]) // max(shard_ways, 1)
+    io_bytes = per_chip - sum(_tree_bytes(b) for b in blocks) // max(
+        shard_ways, 1)
     resident_budget = _AUTO_SWAP_FRACTION * limit - io_bytes
     keep = int(max(0, min(n, resident_budget // max(block_bytes, 1))))
     debug.log(
-        f"DiT weights {total / 1e9:.1f} GB exceed "
+        f"DiT weights {per_chip / 1e9:.1f} GB/chip exceed "
         f"{_AUTO_SWAP_FRACTION:.0%} of HBM ({limit / 1e9:.1f} GB); "
         f"auto-engaging host block streaming (keep {keep}/{n} blocks "
         "resident)", category="blockswap", force=True)
@@ -269,6 +284,7 @@ def configure_runner(
     quant: str = "none",
     vae_quant: str = "none",
     tile_mode: str = "uniform",
+    tensor_parallel: int = 1,
     **_compat_kwargs,
 ) -> VideoDiffusionRunner:
     """Build (or fetch cached) a fully configured runner for a model pair.
@@ -286,7 +302,7 @@ def configure_runner(
         encode_tile_overlap, decode_tiled, decode_tile_size,
         decode_tile_overlap, attention_mode, keep_quantized, quant,
         vae_quant, compute_dtype, blocks_to_swap, sorted(bs_cfg.items()),
-        tile_mode)))
+        tile_mode, tensor_parallel)))
     cached = cache.get_runner(runner_key)
     if cached is not None:
         debug.log("Reusing cached runner", category="reuse")
@@ -316,8 +332,26 @@ def configure_runner(
     else:
         host_params, dit_cfg = cached_dit
 
+    # Tensor parallelism changes the memory plan: each chip will hold only
+    # its tp slice of the blocks, so streaming/offload decisions compare
+    # per-CHIP bytes (7B bf16 over tp=2 is HBM-resident — the lane the flag
+    # exists for). The actual sharding happens at runner.attach_mesh.
+    tp_eff = 1
+    if tensor_parallel > 1:
+        from ..parallel.tp import tp_compatible
+
+        if tp_compatible(host_params, dit_cfg, tensor_parallel):
+            tp_eff = tensor_parallel
+        else:
+            import warnings
+
+            warnings.warn(
+                f"tensor_parallel={tensor_parallel} requested but this "
+                f"checkpoint's layout/dims do not shard that many ways; "
+                f"planning memory single-chip", stacklevel=2)
+
     keep_blocks = _plan_block_streaming(host_params, dit_cfg, blocks_to_swap,
-                                        debug)
+                                        debug, shard_ways=tp_eff)
     streamed_dit = None
     phase_offload = False
     if keep_blocks is not None:
@@ -329,7 +363,8 @@ def configure_runner(
         dit_params = None
     else:
         limit = _hbm_bytes_limit()
-        phase_offload = (limit is not None and _tree_bytes(host_params)
+        phase_offload = (limit is not None
+                         and _per_chip_dit_bytes(host_params, tp_eff)
                          > _PHASE_OFFLOAD_FRACTION * limit)
         if phase_offload:
             debug.log(
@@ -337,6 +372,11 @@ def configure_runner(
                 "(weights leave HBM during the VAE phases)",
                 category="memory")
             dit_params = None  # uploaded lazily at phase-2 entry
+        elif tp_eff > 1:
+            # leave the tree on host: a replicated upload of a model that
+            # only fits SHARDED would OOM chip 0 — attach_mesh does the
+            # sharded upload (parallel/tp.py)
+            dit_params = host_params
         else:
             with debug.timer("upload_dit", "DiT weights host->HBM"):
                 dit_params = jax.device_put(host_params, jax.devices()[0])

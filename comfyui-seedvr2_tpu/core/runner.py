@@ -84,10 +84,27 @@ class VideoDiffusionRunner:
         self._dit_host = dit_host_params
         self.phase_offload = True
 
+    @staticmethod
+    def _warn_no_tp(tp: int):
+        import warnings
+
+        warnings.warn(
+            f"tensor parallelism requested (tp={tp}) but the DiT weight "
+            f"layout/dims do not shard that many ways — serving replicated "
+            f"instead", stacklevel=3)
+
     def ensure_dit_resident(self):
         if getattr(self, "phase_offload", False) and self.dit_params is None:
             with self.debug.timer("dit_restore", "DiT restore to HBM"):
-                if self.mesh is not None:
+                if getattr(self, "_tp_on_restore", False):
+                    from ..parallel.tp import tp_shard_dit_params
+
+                    self.dit_params, specs = tp_shard_dit_params(
+                        self.mesh, self._dit_host, self.dit_cfg)
+                    if self.tp_specs is None:
+                        self.tp_specs = specs
+                        self._denoise_cache.clear()
+                elif self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
                     self.dit_params = jax.device_put(
@@ -118,21 +135,34 @@ class VideoDiffusionRunner:
 
         self.mesh = mesh
         self.tp_specs = None
+        self._tp_on_restore = False
         tp = mesh.shape.get("tp", 1)
-        if self.dit_params is not None and tp > 1:
+        if tp > 1:
             from ..parallel.tp import tp_compatible, tp_shard_dit_params
 
-            if tp_compatible(self.dit_params, self.dit_cfg, tp):
-                self.dit_params, self.tp_specs = tp_shard_dit_params(
-                    mesh, self.dit_params, self.dit_cfg)
-                self._denoise_cache.clear()
-            else:
+            if self.dit_params is not None:
+                if tp_compatible(self.dit_params, self.dit_cfg, tp):
+                    self.dit_params, self.tp_specs = tp_shard_dit_params(
+                        mesh, self.dit_params, self.dit_cfg)
+                    self._denoise_cache.clear()
+                else:
+                    self._warn_no_tp(tp)
+            elif getattr(self, "phase_offload", False):
+                # params live on host until phase-2 entry; shard them at
+                # each restore (ensure_dit_resident)
+                if tp_compatible(self._dit_host, self.dit_cfg, tp):
+                    self._tp_on_restore = True
+                else:
+                    self._warn_no_tp(tp)
+            elif self.streamed_dit is not None:
                 import warnings
 
                 warnings.warn(
-                    f"tensor parallelism requested (tp={tp}) but the DiT "
-                    f"weight layout/dims do not shard that many ways — "
-                    f"serving replicated instead", stacklevel=2)
+                    f"tensor parallelism (tp={tp}) does not compose with "
+                    f"host block streaming — blocks replicate; pass a "
+                    f"tensor_parallel that makes the model fit HBM-resident "
+                    f"(configure_runner plans per-chip bytes) or drop "
+                    f"--blocks_to_swap", stacklevel=2)
         if self.dit_params is not None and self.tp_specs is None:
             self.dit_params = jax.device_put(
                 self.dit_params, NamedSharding(mesh, P()))
@@ -196,10 +226,16 @@ class VideoDiffusionRunner:
         fan-out AND for its (stubbed) per-conv cache_send_recv halo
         (context_parallel_lib.py:55-67). When tiling is on, parallelism
         comes from the tile axis instead (VideoVAE._tile_map), so waves
-        stay size 1. Yields (original_indices, stacked_batch)."""
+        stay size 1. Yields (original_indices, stacked_batch).
+
+        The batch axis shards over EVERY mesh axis (dp AND tp combined):
+        the VAE has no tensor parallelism, so a tp extent would otherwise
+        idle those chips through both VAE phases."""
         dp = 1
+        axes: tuple = ()
         if self.mesh is not None and not tiled:
-            dp = self.mesh.shape.get("dp", 1)
+            axes = tuple(self.mesh.axis_names)
+            dp = int(np.prod([self.mesh.shape[a] for a in axes]))
         groups: Dict[tuple, list] = {}
         for i, x in enumerate(items):
             groups.setdefault(tuple(x.shape), []).append(i)
@@ -213,7 +249,7 @@ class VideoDiffusionRunner:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
                     batch = jax.device_put(batch,
-                                           NamedSharding(self.mesh, P("dp")))
+                                           NamedSharding(self.mesh, P(axes)))
                 yield wave, batch
 
     def vae_encode(self, samples: List[jnp.ndarray]) -> List[jnp.ndarray]:

@@ -534,17 +534,20 @@ def _window_attention_uniform(p_attn, cfg: DiTConfig, xv, xt, plan: DiTPlan,
     partition (na.py:583-641) without its varlen machinery."""
     B, L, _ = xv.shape
     Hn, Dh = cfg.heads, cfg.head_dim
-    if tp_axis is not None:  # head-sharded (see _window_attention)
-        Hn = _pick(p_attn["proj_qkv"], "vid")["w"].shape[-1] // (3 * Dh)
     up = uplan.up
 
     def qkv(x, branch):
         out = linear(x, _pick(p_attn["proj_qkv"], branch))
-        out = out.reshape(*x.shape[:-1], 3, Hn, Dh)
+        # head-sharded under tp: the local qkv slice is (3, Hloc, Dh) —
+        # derive Hloc from the projection OUTPUT so every weight layout
+        # (dense w / w8a8 / q8 / qa) works (see _window_attention)
+        hn = out.shape[-1] // (3 * Dh)
+        out = out.reshape(*x.shape[:-1], 3, hn, Dh)
         return out[..., 0, :, :], out[..., 1, :, :], out[..., 2, :, :]
 
     qv, kv, vv = qkv(xv, "vid")
     qt, kt, vt = qkv(xt, "txt")
+    Hn = qv.shape[-2]  # local heads under tp, cfg.heads otherwise
 
     eps = cfg.norm_eps
     qv = rms_norm(qv, eps, _pick(p_attn["norm_q"], "vid")["weight"])

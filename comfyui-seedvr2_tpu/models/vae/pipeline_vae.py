@@ -252,18 +252,19 @@ class VideoVAE:
     def _tile_map(self, run, crops):
         """Run `run` (sliced encode/decode core) over a list of same-batch
         crops. With a mesh attached, same-shape crops are stacked on the
-        batch axis and sharded over the mesh's first axis in waves of
-        n_devices (tiles are embarrassingly parallel; XLA shards every
-        batch-elementwise op, so per-chip memory = one tile). Returns f32
-        results in input order."""
+        batch axis and sharded over ALL mesh axes combined (dp x tp — the
+        VAE has no tensor parallelism, so tp chips take tiles too) in
+        waves of n_devices (tiles are embarrassingly parallel; XLA shards
+        every batch-elementwise op, so per-chip memory = one tile).
+        Returns f32 results in input order."""
         if self.mesh is None or len(crops) == 1:
             return [run(c).astype(jnp.float32) for c in crops]
 
         from jax.sharding import NamedSharding, PartitionSpec
 
-        axis = self.mesh.axis_names[0]
-        nd = self.mesh.shape[axis]
-        sharding = NamedSharding(self.mesh, PartitionSpec(axis))
+        axes = tuple(self.mesh.axis_names)
+        nd = int(np.prod([self.mesh.shape[a] for a in axes]))
+        sharding = NamedSharding(self.mesh, PartitionSpec(axes))
         b = crops[0].shape[0]
 
         by_shape = {}

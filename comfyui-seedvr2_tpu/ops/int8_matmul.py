@@ -87,8 +87,9 @@ def int8_matmul(xq: jnp.ndarray, wq: jnp.ndarray, xs: jnp.ndarray,
         m_pad = _round_up(m, block_m)
         xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
         xs = jnp.pad(xs, (0, m_pad - m))
-    # full dims prefer 256-quantum blocks (tuned); tp-local shards of an
-    # odd-multiple N (e.g. 3456 over 2 chips) fall back to the 128 lane tile
+    # full dims prefer 256-quantum blocks (tuned); tp-local shards that are
+    # an odd multiple of 128 (e.g. mlp hidden 6912 over 2 chips -> 3456)
+    # fall back to the 128 lane tile
     assert k % 128 == 0 and n % 128 == 0, "weight dims must be lane-tileable"
     block_k = _block_div(k, block_k, quantum=256 if k % 256 == 0 else 128)
     block_n = _block_div(n, block_n, quantum=256 if n % 256 == 0 else 128)

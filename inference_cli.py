@@ -256,14 +256,19 @@ def build_mesh(args, n_devices: int):
 
 
 def make_runner(args, debug):
-    runner = _configure(args, debug)
     import jax
 
+    # mesh FIRST (cheap, validates the flags), then configure: the memory
+    # planner needs the tp extent to budget per-CHIP weight bytes (a 7B
+    # that streams single-chip serves HBM-resident over tp=2)
     try:
         mesh = build_mesh(args, len(jax.local_devices()))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         sys.exit(2)
+    runner = _configure(args, debug,
+                        tensor_parallel=(mesh.shape.get("tp", 1)
+                                         if mesh is not None else 1))
     if mesh is not None:
         runner.attach_mesh(mesh)
         layout = " x ".join(f"{ax}={n}" for ax, n in mesh.shape.items())
@@ -272,8 +277,9 @@ def make_runner(args, debug):
     return runner
 
 
-def _configure(args, debug):
+def _configure(args, debug, tensor_parallel: int = 1):
     return configure_runner(
+        tensor_parallel=tensor_parallel,
         dit_model=args.dit_model, vae_model=args.vae_model,
         base_cache_dir=args.model_dir, debug=debug,
         dit_cache=args.cache_dit, vae_cache=args.cache_vae,

@@ -246,6 +246,18 @@ def test_full_pipeline_mesh_matches_sequential(tiny_runner):
     assert par.shape == seq.shape
     np.testing.assert_allclose(par, seq, rtol=1e-5, atol=3e-5)
 
+    # dp x tp composed: the DiT tp-shards while the VAE waves shard their
+    # batch axis over BOTH axes (tp chips must not idle through the VAE
+    # phases — core/runner._batched_waves)
+    tp_runner = _make_tiny_runner()
+    tp_runner.attach_mesh(make_mesh(len(jax.devices()),
+                                    axis_names=("dp", "tp"),
+                                    shape=(len(jax.devices()) // 2, 2)))
+    assert tp_runner.tp_specs is not None
+    par_tp = run(tp_runner)
+    assert par_tp.shape == seq.shape
+    np.testing.assert_allclose(par_tp, seq, rtol=1e-5, atol=3e-5)
+
 
 def test_pipeline_determinism(tiny_runner):
     """Same seed -> bit-identical output (reference reseeds per batch so

@@ -106,10 +106,9 @@ def test_tp_with_dp_batches():
 
 
 def _psnr(got, ref):
-    mse = float(np.mean((got.astype(np.float64) - ref.astype(np.float64))
-                        ** 2))
-    peak = float(np.max(np.abs(ref))) or 1.0
-    return 10.0 * np.log10(peak * peak / max(mse, 1e-30))
+    from seedvr2_tpu.utils.parity import psnr
+
+    return psnr(got, ref, data_range=float(np.max(np.abs(ref))) or 1.0)
 
 
 def _one_step(runner, noises, conds, txt):

@@ -103,3 +103,47 @@ def test_uniform_plan_dedup_is_small():
     assert plan.cos.shape[0] <= 27
     assert plan.ids.shape == (plan.up.num_windows,)
     assert plan.valid.shape[1] == plan.up.window_len + 58
+
+
+def test_uniform_tp_quantized_forward():
+    """The uniform path under tensor parallelism with a QUANTIZED tree:
+    local head count must derive from the projection output (the q8/w8a8
+    layouts have no "w" field — regression for a trace-time KeyError).
+    q8 is weight-only, so tp == single-device up to psum reduction order."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from seedvr2_tpu.ops.quant_matmul import quantize_dit_params
+    from seedvr2_tpu.parallel.tp import tp_compatible, tp_shard_dit_params
+
+    cfg = DiTConfig(
+        family="dit_3b", vid_in_channels=9, vid_out_channels=4,
+        vid_dim=32, txt_in_dim=16, heads=2, head_dim=32, expand_ratio=4,
+        norm_eps=1e-5, qk_bias=False, patch_size=(1, 2, 2), num_layers=2,
+        mm_layers=1, mlp_type="swiglu", window=(4, 3, 3),
+        rope_type="mmrope3d", rope_dim=32, vid_out_norm=True)
+    params = quantize_dit_params(
+        init_dit_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32),
+        min_dim=16)
+    assert any("q8" in b for blk in params["blocks"]
+               for b in blk["attn"]["proj_qkv"].values())
+    assert tp_compatible(params, cfg, 2)
+
+    T, H, W, txt_len = 3, 16, 22, 7
+    plan_u = build_dit_plan(cfg, (T, H, W), txt_len, uniform=True)
+    rng = np.random.default_rng(13)
+    vid = jnp.asarray(rng.standard_normal((1, T, H, W, 9), dtype=np.float32))
+    txt = jnp.asarray(rng.standard_normal((1, txt_len, 16), dtype=np.float32))
+    ts = jnp.asarray([500.0])
+
+    ref = np.asarray(nadit_forward(params, cfg, vid, txt, ts, plan_u))
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2), ("dp", "tp"))
+    sharded, specs = tp_shard_dit_params(mesh, params, cfg)
+
+    def fwd(p, v, t, s):
+        return nadit_forward(p, cfg, v, t, s, plan_u, tp_axis="tp")
+
+    out = jax.shard_map(fwd, mesh=mesh,
+                        in_specs=(specs, P(), P(), P()), out_specs=P(),
+                        check_vma=False)(sharded, vid, txt, ts)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
