@@ -273,10 +273,11 @@ def configure_runner(
     vae_cache: bool = False,
     block_swap_config: Optional[Dict[str, Any]] = None,
     encode_tiled: bool = False,
-    encode_tile_size: Tuple[int, int] = (1024, 1024),
+    # tile sizes: (px, px) or "auto" = memory-probed plan (utils/memplan)
+    encode_tile_size=(1024, 1024),
     encode_tile_overlap: Tuple[int, int] = (128, 128),
     decode_tiled: bool = False,
-    decode_tile_size: Tuple[int, int] = (1024, 1024),
+    decode_tile_size=(1024, 1024),
     decode_tile_overlap: Tuple[int, int] = (128, 128),
     attention_mode: str = "flash",
     compute_dtype=COMPUTE_DTYPE,

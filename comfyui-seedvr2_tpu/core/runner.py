@@ -31,10 +31,10 @@ class VideoDiffusionRunner:
         config: RunnerConfig = RunnerConfig(),
         debug: Debug = NULL_DEBUG,
         encode_tiled: bool = False,
-        encode_tile_size: Tuple[int, int] = (512, 512),
+        encode_tile_size=(512, 512),  # (px, px) tuple or "auto" (memplan)
         encode_tile_overlap: Tuple[int, int] = (64, 64),
         decode_tiled: bool = False,
-        decode_tile_size: Tuple[int, int] = (512, 512),
+        decode_tile_size=(512, 512),
         decode_tile_overlap: Tuple[int, int] = (64, 64),
         compute_dtype=COMPUTE_DTYPE,
         attention_mode: str = "flash",
@@ -65,6 +65,8 @@ class VideoDiffusionRunner:
         self.schedule = diffusion.LerpSchedule(config.diffusion.schedule_T)
         self._denoise_cache: Dict[tuple, callable] = {}
         self.mesh = None
+        # resolved plans for tile_size == "auto", keyed (kind, item shape)
+        self._auto_tile_cache: Dict[tuple, tuple] = {}
         # PartitionSpec tree for tensor-parallel DiT params (parallel/tp.py);
         # None = params replicated (dp-only inference)
         self.tp_specs = None
@@ -186,15 +188,89 @@ class VideoDiffusionRunner:
 
     _MIN_TILE = 256
 
-    def _vae_call_with_oom_retry(self, kind: str, run_one) -> jnp.ndarray:
+    def _auto_tile_budget(self) -> Optional[int]:
+        """HBM bytes available to a VAE phase: chip limit minus whatever
+        DiT weights stay resident through it (memplan's probes count the
+        VAE params themselves)."""
+        from .model_manager import _hbm_bytes_limit, _tree_bytes
+
+        limit = _hbm_bytes_limit()
+        if limit is None:
+            return None
+        resident = 0
+        if (not getattr(self, "phase_offload", False)
+                and self.dit_params is not None):
+            resident = _tree_bytes(self.dit_params)
+            if self.tp_specs is not None and self.mesh is not None:
+                resident //= self.mesh.shape.get("tp", 1)
+        sd = self.streamed_dit
+        if sd is not None:
+            resident += (_tree_bytes(sd.resident) + _tree_bytes(sd.io_params)
+                         + 2 * sd.stats.block_bytes)
+        return limit - resident
+
+    def _resolve_tile(self, kind: str, item: jnp.ndarray):
+        """Resolve ``tile_size == "auto"`` to a concrete plan for this
+        input shape via compile-time memory probes (utils/memplan.py).
+        ``item`` is one un-stacked sample: (T, H, W, 3) for encode,
+        (Tl, h, w, C) for decode. Returns (tiled, tile_size_px)."""
+        tiled = getattr(self, f"{kind}_tiled")
+        tile_size = getattr(self, f"{kind}_tile_size")
+        if tile_size != "auto":
+            return tiled, tile_size
+        key = (kind, tuple(item.shape))
+        hit = self._auto_tile_cache.get(key)
+        if hit is not None:
+            return hit
+        sf = self.config.vae.spatial_downsample_factor
+        tdf = self.config.vae.temporal_downsample_factor
+        if kind == "decode":
+            tl, h, w = item.shape[0], item.shape[1], item.shape[2]
+            frames_px = (tl - 1) * tdf + 1
+        else:
+            frames_px = item.shape[0]
+            h = (item.shape[1] + sf - 1) // sf
+            w = (item.shape[2] + sf - 1) // sf
+        budget = self._auto_tile_budget()
+        if budget is None:
+            # no memory model for this backend (CPU tests): serve the
+            # fixed default so behavior stays deterministic
+            resolved = (tiled, (1024, 1024))
+            self.debug.log(
+                f"auto tile {kind}: no HBM limit for this backend; "
+                "using 1024px default", category="memplan")
+        else:
+            from ..utils import memplan
+
+            plan = memplan.plan_auto_tile(
+                self.vae, kind, (h, w), 1, frames_px,
+                getattr(self, f"{kind}_tile_overlap"), budget,
+                debug=self.debug)
+            if plan is None:
+                resolved = (False, (1024, 1024))  # untiled fits
+            else:
+                resolved = (True, plan)
+            self.debug.log(
+                f"auto tile {kind}: resolved to "
+                f"{'untiled' if plan is None else plan} "
+                f"(budget {budget / 1e9:.1f} GB)", category="memplan",
+                force=True)
+        self._auto_tile_cache[key] = resolved
+        return resolved
+
+    def _vae_call_with_oom_retry(self, kind: str, run_one,
+                                 tiled: Optional[bool] = None,
+                                 tile_size=None) -> jnp.ndarray:
         """HBM-OOM resilience (the TPU analogue of the reference's
         retry_on_oom + memory_limit_conv recursive splitting,
         memory_manager.py:350-392, causal_inflation_lib.py:115-212): on
         RESOURCE_EXHAUSTED first engage spatial tiling, then progressively
         shrink the tile (x0.7 per side, floor 256 px) — at 4K with the DiT
         resident the decoder needs ~<=900^2 tiles on a 16 GB chip."""
-        tiled = getattr(self, f"{kind}_tiled")
-        tile_size = getattr(self, f"{kind}_tile_size")
+        if tiled is None:
+            tiled = getattr(self, f"{kind}_tiled")
+        if tile_size is None:
+            tile_size = getattr(self, f"{kind}_tile_size")
         for _ in range(8):
             try:
                 return run_one(tiled, tile_size)
@@ -258,13 +334,16 @@ class VideoDiffusionRunner:
         scale = self.config.vae.scaling_factor
         shift = self.config.vae.shifting_factor
         out: List[jnp.ndarray] = [None] * len(samples)
-        for wave, batch in self._batched_waves(samples, self.encode_tiled):
+        enc_tiled, enc_ts = (self._resolve_tile("encode", samples[0])
+                             if samples else (self.encode_tiled, None))
+        for wave, batch in self._batched_waves(samples, enc_tiled):
             lat = self._vae_call_with_oom_retry(
                 "encode",
                 lambda tiled, ts, b=batch: self.vae.encode(
                     b, tiled=tiled, tile_size=ts,
                     tile_overlap=self.encode_tile_overlap,
-                    tile_mode=self.tile_mode))
+                    tile_mode=self.tile_mode),
+                tiled=enc_tiled, tile_size=enc_ts)
             lat = ((lat.astype(jnp.float32) - shift) * scale).astype(
                 self.compute_dtype)
             for j, i in enumerate(wave):
@@ -277,13 +356,16 @@ class VideoDiffusionRunner:
         zs = [(jnp.asarray(lat).astype(jnp.float32) / scale + shift)
               .astype(self.vae.dtype) for lat in latents]
         out: List[jnp.ndarray] = [None] * len(latents)
-        for wave, batch in self._batched_waves(zs, self.decode_tiled):
+        dec_tiled, dec_ts = (self._resolve_tile("decode", zs[0])
+                             if zs else (self.decode_tiled, None))
+        for wave, batch in self._batched_waves(zs, dec_tiled):
             sample = self._vae_call_with_oom_retry(
                 "decode",
                 lambda tiled, ts, b=batch: self.vae.decode(
                     b, tiled=tiled, tile_size=ts,
                     tile_overlap=self.decode_tile_overlap,
-                    tile_mode=self.tile_mode))
+                    tile_mode=self.tile_mode),
+                tiled=dec_tiled, tile_size=dec_ts)
             for j, i in enumerate(wave):
                 out[i] = sample[j]
         return out

@@ -15,6 +15,14 @@ from ..utils.model_registry import (DEFAULT_DIT, DEFAULT_VAE,
 from ..utils.text_embeds import load_text_embeddings
 
 
+def _node_tile(v):
+    """Node tile-size value -> configure_runner form: 0 or "auto" means
+    the memory-probed auto plan (utils/memplan), else (px, px)."""
+    if v == 0 or v == "auto":
+        return "auto"
+    return (int(v),) * 2
+
+
 class SeedVR2LoadDiTModel:
     """DiT loader node -> config dict (dit_model_loader.py:131-180)."""
 
@@ -134,10 +142,13 @@ class SeedVR2VideoUpscaler:
                 "swap_io_components": dit.get("swap_io_components", False),
             },
             encode_tiled=vae.get("encode_tiled", False),
-            encode_tile_size=(vae.get("encode_tile_size", 512),) * 2,
+            # tile_size: int px side, or 0 / "auto" = memory-probed plan
+            # (utils/memplan) — node widgets are numeric, so 0 is the
+            # node-friendly spelling of "auto"
+            encode_tile_size=_node_tile(vae.get("encode_tile_size", 512)),
             encode_tile_overlap=(vae.get("encode_tile_overlap", 64),) * 2,
             decode_tiled=vae.get("decode_tiled", False),
-            decode_tile_size=(vae.get("decode_tile_size", 512),) * 2,
+            decode_tile_size=_node_tile(vae.get("decode_tile_size", 512)),
             decode_tile_overlap=(vae.get("decode_tile_overlap", 64),) * 2,
             attention_mode=dit.get("attention_mode", "flash"),
             quant=dit.get("quant", "none"),

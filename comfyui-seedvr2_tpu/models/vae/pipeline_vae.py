@@ -99,6 +99,27 @@ def _plan_grid(h: int, w: int, cap_area: int, ov_h: int, ov_w: int):
     return _even_starts(h, th, nr), th, _even_starts(w, tw, nc), tw
 
 
+def _encode_slices(params, cfg: VAEConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Temporally-sliced encode as a pure traceable function (the logic of
+    VideoVAE._sliced_encode without the per-call jit wrappers), for
+    embedding in larger programs and for compile-only memory probes
+    (utils/memplan.py). Returns the latent moments (un-truncated)."""
+    T = x.shape[1]
+    split = cfg.slicing_sample_min_size
+    if (T - 1) <= split:
+        return encoder_core(params, cfg, x, None)[0]
+    outs = []
+    moments, state = encoder_core(params, cfg, x[:, : split + 1], None)
+    outs.append(moments)
+    pos = split + 1
+    while pos < T:
+        moments, state = encoder_core(params, cfg, x[:, pos: pos + split],
+                                      state)
+        outs.append(moments)
+        pos += split
+    return jnp.concatenate(outs, axis=1)
+
+
 def _decode_slices(params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
     """Temporally-sliced decode as a pure traceable function (the logic of
     VideoVAE._sliced_decode without the per-call jit wrappers, so it can be

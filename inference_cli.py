@@ -34,6 +34,14 @@ from seedvr2_tpu.utils.model_registry import DEFAULT_DIT, DEFAULT_VAE
 from seedvr2_tpu.utils.text_embeds import load_text_embeddings
 
 
+def _tile_size(v: str):
+    """Argparse type for tile-size flags: an int px side, or 'auto' for
+    the memory-probed plan (seedvr2_tpu.utils.memplan)."""
+    if v.strip().lower() == "auto":
+        return "auto"
+    return int(v)
+
+
 def parse_arguments():
     p = argparse.ArgumentParser(
         description="SeedVR2 TPU video/image upscaler")
@@ -71,10 +79,13 @@ def parse_arguments():
 
     v = p.add_argument_group("VAE tiling")
     v.add_argument("--vae_encode_tiled", action="store_true")
-    v.add_argument("--vae_encode_tile_size", type=int, default=1024)
+    v.add_argument("--vae_encode_tile_size", type=_tile_size, default=1024,
+                   help="tile side in px, or 'auto' to pick the largest "
+                        "grid that fits HBM via compile-time memory probes")
     v.add_argument("--vae_encode_tile_overlap", type=int, default=128)
     v.add_argument("--vae_decode_tiled", action="store_true")
-    v.add_argument("--vae_decode_tile_size", type=int, default=1024)
+    v.add_argument("--vae_decode_tile_size", type=_tile_size, default=1024,
+                   help="tile side in px, or 'auto' (see encode)")
     v.add_argument("--vae_decode_tile_overlap", type=int, default=128)
     v.add_argument("--tile_debug", type=str, default="false",
                    choices=["false", "encode", "decode"])
@@ -285,10 +296,12 @@ def _configure(args, debug, tensor_parallel: int = 1):
         dit_cache=args.cache_dit, vae_cache=args.cache_vae,
         block_swap_config={"blocks_to_swap": args.blocks_to_swap},
         encode_tiled=args.vae_encode_tiled,
-        encode_tile_size=(args.vae_encode_tile_size,) * 2,
+        encode_tile_size=("auto" if args.vae_encode_tile_size == "auto"
+                          else (args.vae_encode_tile_size,) * 2),
         encode_tile_overlap=(args.vae_encode_tile_overlap,) * 2,
         decode_tiled=args.vae_decode_tiled,
-        decode_tile_size=(args.vae_decode_tile_size,) * 2,
+        decode_tile_size=("auto" if args.vae_decode_tile_size == "auto"
+                          else (args.vae_decode_tile_size,) * 2),
         decode_tile_overlap=(args.vae_decode_tile_overlap,) * 2,
         attention_mode=args.attention_mode,
         quant=args.quant,

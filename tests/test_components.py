@@ -190,6 +190,11 @@ def test_node_config_contract():
     tc = SeedVR2TorchCompileSettings.execute()
     assert set(tc) == {"backend", "mode", "fullgraph", "dynamic",
                        "dynamo_cache_size_limit", "dynamo_recompile_limit"}
+    # tile size 0 (or "auto") = memory-probed auto plan; ints pass through
+    from seedvr2_tpu.interfaces.nodes import _node_tile
+
+    assert _node_tile(0) == "auto" and _node_tile("auto") == "auto"
+    assert _node_tile(512) == (512, 512)
     with pytest.raises(ValueError):
         SeedVR2LoadDiTModel.execute(blocks_to_swap=2, offload_device="none")
 
