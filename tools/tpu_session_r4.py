@@ -146,6 +146,29 @@ def main():
     for px in enc_runnable:
         guard(f"encode_run_{px}", lambda p=px: tile_probe.probe("encode", p))
 
+    # 3b: the runtime auto planner's verdict on this chip (what a user
+    # passing --vae_*_tile_size auto would get at the 4K serving shape;
+    # rides the probes above via the persistent memprobe/jit caches)
+    def _auto_plan(kind):
+        import jax.numpy as jnp
+
+        from seedvr2_tpu.core.configs import VAE_V3
+        from seedvr2_tpu.models.vae.pipeline_vae import (VideoVAE,
+                                                         init_vae_params)
+        from seedvr2_tpu.utils import memplan
+
+        vae = VideoVAE(init_vae_params(jax.random.PRNGKey(0), VAE_V3,
+                                       dtype=jnp.bfloat16), VAE_V3)
+        budget = int(HBM_BUDGET_GIB * 1024 ** 3)
+        plan = memplan.plan_auto_tile(
+            vae, kind, (tile_probe.H4K // 8, tile_probe.W4K // 8), 1,
+            tile_probe.FRAMES, (tile_probe.OV_PX,) * 2, budget)
+        return {"kind": kind, "budget_gib": HBM_BUDGET_GIB,
+                "auto_plan_px": plan}
+
+    guard("auto_plan_decode", lambda: _auto_plan("decode"))
+    guard("auto_plan_encode", lambda: _auto_plan("encode"))
+
     # free everything before the dense studies
     for a in jax.live_arrays():
         try:
