@@ -189,6 +189,12 @@ def parse_arguments():
                          "torch-free .npy files in DST_DIR, then exit")
 
     d = p.add_argument_group("Debug")
+    d.add_argument("--doctor", action="store_true",
+                   help="print an environment health report (backend, "
+                        "HBM, caches, model/asset resolution, native "
+                        "extension) and exit; never hangs on a dead "
+                        "TPU tunnel (exit 0 = backend computed, 3 = "
+                        "unavailable)")
     d.add_argument("--device", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="pin the jax platform (default: auto = whatever the "
@@ -557,6 +563,10 @@ def main():
         from seedvr2_tpu.parallel import multihost
 
         multihost.distributed_init(coord, args.num_hosts, args.host_index)
+    if args.doctor:
+        from seedvr2_tpu.utils.doctor import run_doctor
+
+        sys.exit(run_doctor(model_dir=args.model_dir))
     debug = Debug(enabled=args.debug, profile_dir=args.profile_dir)
     debug.log_environment()
     if args.convert_embeddings is not None:

@@ -213,3 +213,18 @@ def test_device_flag(tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         _args(inp, out, device="cuda")
+
+
+def test_doctor_report(tmp_path, capsys):
+    """--doctor prints the health sections and returns 0 when the backend
+    computes (CPU here); the probe runs under a watchdog so a dead TPU
+    tunnel yields exit 3 instead of a hang (utils/doctor.py)."""
+    from seedvr2_tpu.utils.doctor import run_doctor
+
+    rc = run_doctor(model_dir=str(tmp_path))
+    out = capsys.readouterr().out
+    assert rc == 0
+    for needle in ("seedvr2 doctor", "persistent jit cache",
+                   "memory-probe cache", "model search dirs",
+                   "backend OK: cpu"):
+        assert needle in out, needle
