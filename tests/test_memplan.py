@@ -221,3 +221,32 @@ def test_cli_parses_auto_tile_size(monkeypatch):
     args = inference_cli.parse_arguments()
     assert args.vae_decode_tile_size == "auto"
     assert args.vae_encode_tile_size == 640
+
+
+def test_runner_oom_retry_shrinks_auto_plan(monkeypatch):
+    """The OOM-shrink retry backstops the planner: when the runtime
+    rejects the auto-chosen tile anyway (probe optimism, fragmentation),
+    the runner shrinks x0.7/side and self-heals for later calls."""
+    monkeypatch.setattr(memplan, "DECODE_LADDER", (384,))
+    runner = _auto_runner(decode_tiled=True, decode_tile_size="auto",
+                          decode_tile_overlap=(16, 16))
+    monkeypatch.setattr(runner, "_auto_tile_budget", lambda: 1000)
+    z = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (2, 24, 32, CFG.latent_channels)), jnp.float32)
+
+    real_decode = runner.vae.decode
+    calls = []
+
+    def flaky_decode(b, tiled=False, tile_size=(512, 512), **kw):
+        calls.append((tiled, tile_size))
+        if tiled and min(tile_size) > 256:  # 256 = the shrink floor
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return real_decode(b, tiled=tiled, tile_size=tile_size, **kw)
+
+    monkeypatch.setattr(runner.vae, "decode", flaky_decode)
+    out = runner.vae_decode([z])[0]
+    assert out.shape == (5, 192, 256, 3)
+    assert calls[0] == (True, (384, 384))  # auto plan tried first
+    assert calls[-1] == (True, (256, 256))  # shrunk to the floor
+    # the shrink self-heals: the runner serves the working size directly
+    assert runner.decode_tile_size == (256, 256)
