@@ -250,10 +250,12 @@ def _plan_block_streaming(dit_params: dict, dit_cfg: DiTConfig,
     per_chip = _per_chip_dit_bytes(dit_params, shard_ways)
     if per_chip <= _AUTO_SWAP_FRACTION * limit:
         return None
+    # streaming does NOT compose with tp (StreamedNaDiT replicates its
+    # blocks across the mesh — ops/offload.py attach_mesh), so once it
+    # engages the keep plan must budget FULL, unsharded bytes
     blocks = dit_params["blocks"]
-    block_bytes = _tree_bytes(blocks[0]) // max(shard_ways, 1)
-    io_bytes = per_chip - sum(_tree_bytes(b) for b in blocks) // max(
-        shard_ways, 1)
+    block_bytes = _tree_bytes(blocks[0])
+    io_bytes = _tree_bytes(dit_params) - sum(_tree_bytes(b) for b in blocks)
     resident_budget = _AUTO_SWAP_FRACTION * limit - io_bytes
     keep = int(max(0, min(n, resident_budget // max(block_bytes, 1))))
     debug.log(

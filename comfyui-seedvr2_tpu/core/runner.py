@@ -192,7 +192,8 @@ class VideoDiffusionRunner:
         """HBM bytes available to a VAE phase: chip limit minus whatever
         DiT weights stay resident through it (memplan's probes count the
         VAE params themselves)."""
-        from .model_manager import _hbm_bytes_limit, _tree_bytes
+        from .model_manager import (_hbm_bytes_limit, _per_chip_dit_bytes,
+                                    _tree_bytes)
 
         limit = _hbm_bytes_limit()
         if limit is None:
@@ -200,9 +201,11 @@ class VideoDiffusionRunner:
         resident = 0
         if (not getattr(self, "phase_offload", False)
                 and self.dit_params is not None):
-            resident = _tree_bytes(self.dit_params)
-            if self.tp_specs is not None and self.mesh is not None:
-                resident //= self.mesh.shape.get("tp", 1)
+            tp = (self.mesh.shape.get("tp", 1)
+                  if self.tp_specs is not None and self.mesh is not None
+                  else 1)
+            # blocks shard over tp; IO weights replicate
+            resident = _per_chip_dit_bytes(self.dit_params, tp)
         sd = self.streamed_dit
         if sd is not None:
             resident += (_tree_bytes(sd.resident) + _tree_bytes(sd.io_params)
@@ -260,13 +263,19 @@ class VideoDiffusionRunner:
 
     def _vae_call_with_oom_retry(self, kind: str, run_one,
                                  tiled: Optional[bool] = None,
-                                 tile_size=None) -> jnp.ndarray:
+                                 tile_size=None,
+                                 auto_key: Optional[tuple] = None
+                                 ) -> jnp.ndarray:
         """HBM-OOM resilience (the TPU analogue of the reference's
         retry_on_oom + memory_limit_conv recursive splitting,
         memory_manager.py:350-392, causal_inflation_lib.py:115-212): on
         RESOURCE_EXHAUSTED first engage spatial tiling, then progressively
         shrink the tile (x0.7 per side, floor 256 px) — at 4K with the DiT
-        resident the decoder needs ~<=900^2 tiles on a 16 GB chip."""
+        resident the decoder needs ~<=900^2 tiles on a 16 GB chip.
+
+        A shrink self-heals for later waves/calls: under an "auto" plan it
+        updates the per-shape entry in _auto_tile_cache (auto_key), else
+        the runner's configured attrs — callers re-resolve per wave."""
         if tiled is None:
             tiled = getattr(self, f"{kind}_tiled")
         if tile_size is None:
@@ -288,8 +297,12 @@ class VideoDiffusionRunner:
                     f"HBM OOM during VAE {kind}; retrying with tiling "
                     f"{tile_size}", level="WARNING", category="vae",
                     force=True)
-                setattr(self, f"{kind}_tiled", tiled)
-                setattr(self, f"{kind}_tile_size", tile_size)
+                if (auto_key is not None
+                        and getattr(self, f"{kind}_tile_size") == "auto"):
+                    self._auto_tile_cache[auto_key] = (tiled, tile_size)
+                else:
+                    setattr(self, f"{kind}_tiled", tiled)
+                    setattr(self, f"{kind}_tile_size", tile_size)
         raise RuntimeError(f"VAE {kind} kept OOMing down to {tile_size}")
 
     def _batched_waves(self, items: List[jnp.ndarray], tiled: bool):
@@ -334,16 +347,22 @@ class VideoDiffusionRunner:
         scale = self.config.vae.scaling_factor
         shift = self.config.vae.shifting_factor
         out: List[jnp.ndarray] = [None] * len(samples)
-        enc_tiled, enc_ts = (self._resolve_tile("encode", samples[0])
-                             if samples else (self.encode_tiled, None))
-        for wave, batch in self._batched_waves(samples, enc_tiled):
+        # resolve the tile plan per distinct shape (mixed-shape calls get
+        # mixed plans); waves stay size 1 if ANY plan tiles
+        plans = {tuple(s.shape): self._resolve_tile("encode", s)
+                 for s in samples}
+        tiled_any = any(t for t, _ in plans.values())
+        for wave, batch in self._batched_waves(samples, tiled_any):
+            key = ("encode", tuple(samples[wave[0]].shape))
+            enc_tiled, enc_ts = self._resolve_tile("encode",
+                                                   samples[wave[0]])
             lat = self._vae_call_with_oom_retry(
                 "encode",
                 lambda tiled, ts, b=batch: self.vae.encode(
                     b, tiled=tiled, tile_size=ts,
                     tile_overlap=self.encode_tile_overlap,
                     tile_mode=self.tile_mode),
-                tiled=enc_tiled, tile_size=enc_ts)
+                tiled=enc_tiled, tile_size=enc_ts, auto_key=key)
             lat = ((lat.astype(jnp.float32) - shift) * scale).astype(
                 self.compute_dtype)
             for j, i in enumerate(wave):
@@ -356,16 +375,19 @@ class VideoDiffusionRunner:
         zs = [(jnp.asarray(lat).astype(jnp.float32) / scale + shift)
               .astype(self.vae.dtype) for lat in latents]
         out: List[jnp.ndarray] = [None] * len(latents)
-        dec_tiled, dec_ts = (self._resolve_tile("decode", zs[0])
-                             if zs else (self.decode_tiled, None))
-        for wave, batch in self._batched_waves(zs, dec_tiled):
+        plans = {tuple(z.shape): self._resolve_tile("decode", z)
+                 for z in zs}
+        tiled_any = any(t for t, _ in plans.values())
+        for wave, batch in self._batched_waves(zs, tiled_any):
+            key = ("decode", tuple(zs[wave[0]].shape))
+            dec_tiled, dec_ts = self._resolve_tile("decode", zs[wave[0]])
             sample = self._vae_call_with_oom_retry(
                 "decode",
                 lambda tiled, ts, b=batch: self.vae.decode(
                     b, tiled=tiled, tile_size=ts,
                     tile_overlap=self.decode_tile_overlap,
                     tile_mode=self.tile_mode),
-                tiled=dec_tiled, tile_size=dec_ts)
+                tiled=dec_tiled, tile_size=dec_ts, auto_key=key)
             for j, i in enumerate(wave):
                 out[i] = sample[j]
         return out

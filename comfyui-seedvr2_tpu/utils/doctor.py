@@ -129,18 +129,12 @@ def run_doctor(model_dir: Optional[str] = None, echo=print) -> int:
     for name in (DEFAULT_DIT, DEFAULT_VAE):
         p = find_model_path(name, model_dir)
         echo(f"  {name}: {p or 'NOT FOUND (will attempt download)'}")
-    for emb in ("pos_emb", "neg_emb"):
-        found = None
-        for d in dirs:
-            for ext in (".npy", ".safetensors", ".pt"):
-                cand = os.path.join(d, emb + ext)
-                if os.path.isfile(cand):
-                    found = cand
-                    break
-            if found:
-                break
+    from .text_embeds import find_embedding_path
+
+    for emb in ("pos", "neg"):
+        found = find_embedding_path(emb, dirs)
         missing = "not found (zeros fallback; see --convert_embeddings)"
-        echo(f"  {emb}: {found or missing}")
+        echo(f"  {emb}_emb: {found or missing}")
 
     # backend ------------------------------------------------------------
     echo(f"probing backend (<= {BACKEND_PROBE_S:.0f}s) ...")

@@ -157,7 +157,6 @@ def plan_auto_tile(vae, kind: str, lat_hw: Tuple[int, int], batch: int,
     h, w = lat_hw
     tl = (frames_px - 1) // cfg.temporal_downsample_factor + 1
     dec_frames = tl  # decode probes take latent frames
-    ov = (max(0, overlap_px[0] // sf), max(0, overlap_px[1] // sf))
     if ladder is None:
         ladder = DECODE_LADDER if kind == "decode" else ENCODE_LADDER
 
@@ -172,6 +171,11 @@ def plan_auto_tile(vae, kind: str, lat_hw: Tuple[int, int], batch: int,
         lt = max(1, cap // sf)
         if lt >= h and lt >= w:
             continue  # same as untiled
+        # the serving path clamps the overlap to lt-1 per tile size
+        # (pipeline_vae.encode/decode) — plan with the same clamp so the
+        # memory verdict is for the grid that actually executes
+        ov = (max(0, min(overlap_px[0] // sf, lt - 1)),
+              max(0, min(overlap_px[1] // sf, lt - 1)))
         ys, th, xs, tw = _plan_grid(h, w, lt * lt, *ov)
         sig = (th, tw, len(ys), len(xs))
         if sig in seen:
@@ -180,9 +184,11 @@ def plan_auto_tile(vae, kind: str, lat_hw: Tuple[int, int], batch: int,
         candidates.append((cap, len(ys) * len(xs), th, tw))
 
     frames = dec_frames if kind == "decode" else frames_px
+    any_probe_ok = False
     for cap, n_tiles, th, tw in candidates:
         try:
             tile_b = probe_tile_bytes(vae, kind, batch, frames, th, tw)
+            any_probe_ok = True
         except Exception as exc:  # noqa: BLE001 — probe failure != OOM
             if debug is not None:
                 debug.log(f"auto-tile probe failed at cap={cap}: "
@@ -204,6 +210,16 @@ def plan_auto_tile(vae, kind: str, lat_hw: Tuple[int, int], batch: int,
                 f"{'FITS' if fits else 'no'}", category="memplan")
         if fits:
             return None if cap is None else (cap, cap)
+    if not any_probe_ok:
+        # probes BROKE (memory_analysis unsupported, compile errors) —
+        # that is not a "nothing fits" verdict; serve the fixed default
+        # rather than the worst rung's massively redundant grid
+        if debug is not None:
+            debug.log(
+                f"auto-tile {kind}: every memory probe failed; serving "
+                "the fixed 1024px default", level="WARNING",
+                category="memplan", force=True)
+        return (1024, 1024)
     if debug is not None:
         debug.log(
             f"auto-tile {kind}: nothing on the ladder fits "

@@ -27,6 +27,24 @@ def _load_one(path: str) -> np.ndarray:
     raise ValueError(f"unsupported embedding format: {path}")
 
 
+_NAMES = {"pos": ("pos_emb.pt", "pos_emb.safetensors", "pos_emb.npy"),
+          "neg": ("neg_emb.pt", "neg_emb.safetensors", "neg_emb.npy")}
+
+
+def find_embedding_path(kind: str, search_dirs) -> Optional[str]:
+    """The exact file load_text_embeddings would serve for `kind`
+    ("pos"/"neg"), or None. Shared with the --doctor report so the
+    diagnosis matches the loader's search order."""
+    for d in search_dirs:
+        if not d or not os.path.isdir(d):
+            continue
+        for c in _NAMES[kind]:
+            p = os.path.join(d, c)
+            if os.path.isfile(p):
+                return p
+    return None
+
+
 def load_text_embeddings(search_dirs, debug=None,
                          txt_dim: int = TXT_DIM) -> Dict[str, np.ndarray]:
     """Find pos_emb/neg_emb in the given directories (model_dir, cwd, ...).
@@ -37,25 +55,16 @@ def load_text_embeddings(search_dirs, debug=None,
     for the published 3B/7B, but config-sniffed checkpoints can differ): the
     zero fallback is sized to it, and a loaded file that doesn't match it
     fails here with a clear message instead of as a shape error mid-DiT."""
-    names = {"pos": ("pos_emb.pt", "pos_emb.safetensors", "pos_emb.npy"),
-             "neg": ("neg_emb.pt", "neg_emb.safetensors", "neg_emb.npy")}
     out: Dict[str, Optional[np.ndarray]] = {"pos": None, "neg": None}
-    for d in search_dirs:
-        if not d or not os.path.isdir(d):
-            continue
-        for kind, candidates in names.items():
-            if out[kind] is not None:
-                continue
-            for c in candidates:
-                p = os.path.join(d, c)
-                if os.path.isfile(p):
-                    emb = _load_one(p)
-                    if emb.shape[-1] != txt_dim:
-                        raise ValueError(
-                            f"{p}: text embedding dim {emb.shape[-1]} does "
-                            f"not match the model's txt_in_dim {txt_dim}")
-                    out[kind] = emb
-                    break
+    for kind in out:
+        p = find_embedding_path(kind, search_dirs)
+        if p is not None:
+            emb = _load_one(p)
+            if emb.shape[-1] != txt_dim:
+                raise ValueError(
+                    f"{p}: text embedding dim {emb.shape[-1]} does "
+                    f"not match the model's txt_in_dim {txt_dim}")
+            out[kind] = emb
     if out["pos"] is None:
         if debug:
             debug.log("text embeddings not found; using zeros",

@@ -248,5 +248,78 @@ def test_runner_oom_retry_shrinks_auto_plan(monkeypatch):
     assert out.shape == (5, 192, 256, 3)
     assert calls[0] == (True, (384, 384))  # auto plan tried first
     assert calls[-1] == (True, (256, 256))  # shrunk to the floor
-    # the shrink self-heals: the runner serves the working size directly
-    assert runner.decode_tile_size == (256, 256)
+    # the shrink self-heals into the per-shape plan (the 'auto' config
+    # itself stays, so other shapes still get their own probes)
+    assert runner.decode_tile_size == "auto"
+    assert runner._auto_tile_cache[("decode", tuple(z.shape))] == \
+        (True, (256, 256))
+
+    # later waves/calls of the same shape serve the healed size directly:
+    # the failing 384 plan must not be replayed
+    n_calls = len(calls)
+    out2 = runner.vae_decode([z + 1])[0]
+    assert out2.shape == (5, 192, 256, 3)
+    assert calls[n_calls:] == [(True, (256, 256))]
+
+
+def test_plan_auto_tile_broken_probes_fall_back_to_default(tiny_vae,
+                                                           monkeypatch):
+    """Probe FAILURE (memory_analysis unsupported, compile error) is not
+    a nothing-fits verdict: the planner serves the fixed 1024px default,
+    not the smallest rung's massively redundant grid."""
+    def broken(*a, **k):
+        raise RuntimeError("memory_analysis unsupported here")
+
+    monkeypatch.setattr(memplan, "probe_tile_bytes", broken)
+    got = memplan.plan_auto_tile(tiny_vae, "decode", (270, 480), 1, 5,
+                                 (64, 64), 10 ** 12)
+    assert got == (1024, 1024)
+
+
+def test_runner_auto_resolves_per_shape(monkeypatch):
+    """Mixed-shape calls plan each shape independently (chunked videos
+    produce a shorter final batch)."""
+    monkeypatch.setattr(memplan, "DECODE_LADDER", (96,))
+    runner = _auto_runner(decode_tiled=True, decode_tile_size="auto",
+                          decode_tile_overlap=(16, 16))
+    monkeypatch.setattr(runner, "_auto_tile_budget", lambda: 1000)
+    rng = np.random.default_rng(8)
+    za = jnp.asarray(rng.standard_normal((2, 24, 32, CFG.latent_channels)),
+                     jnp.float32)
+    zb = jnp.asarray(rng.standard_normal((1, 24, 32, CFG.latent_channels)),
+                     jnp.float32)
+    outs = runner.vae_decode([za, zb])
+    assert outs[0].shape == (5, 192, 256, 3)
+    assert outs[1].shape == (1, 192, 256, 3)
+    assert ("decode", tuple(za.shape)) in runner._auto_tile_cache
+    assert ("decode", tuple(zb.shape)) in runner._auto_tile_cache
+
+
+def test_streaming_keep_plan_uses_full_bytes_under_tp(tiny_checkpoints=None):
+    """Block streaming replicates across the mesh (tp does not compose
+    with it), so once it engages under tensor_parallel the keep plan must
+    budget FULL bytes — identical to the single-chip plan."""
+    from seedvr2_tpu.core import model_manager as mm
+    from seedvr2_tpu.models.dit.nadit import init_dit_params
+    from seedvr2_tpu.core.configs import DiTConfig
+    from seedvr2_tpu.utils.debug import NULL_DEBUG
+
+    cfg = DiTConfig(
+        family="dit_3b", vid_in_channels=9, vid_out_channels=4, vid_dim=32,
+        txt_in_dim=16, heads=2, head_dim=16, expand_ratio=4,
+        patch_size=(1, 2, 2), num_layers=4, mm_layers=1, mlp_type="swiglu",
+        window=(2, 2, 2), rope_type="mmrope3d", rope_dim=16,
+        vid_out_norm=True)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # a limit tiny enough that even the tp=2 slice engages streaming
+    limit = int(mm._per_chip_dit_bytes(params, 2) / mm._AUTO_SWAP_FRACTION
+                * 0.8)
+    import unittest.mock as mock
+
+    with mock.patch.object(mm, "_hbm_bytes_limit", lambda: limit):
+        keep1 = mm._plan_block_streaming(params, cfg, 0, NULL_DEBUG,
+                                         shard_ways=1)
+        keep2 = mm._plan_block_streaming(params, cfg, 0, NULL_DEBUG,
+                                         shard_ways=2)
+    assert keep1 is not None and keep2 is not None
+    assert keep1 == keep2  # replicated serving -> identical keep plan
