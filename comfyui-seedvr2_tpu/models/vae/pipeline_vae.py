@@ -59,10 +59,16 @@ def _min_overlap(starts, tile):
                for i in range(len(starts) - 1))
 
 
-def _plan_grid(h: int, w: int, cap_area: int, ov_h: int, ov_w: int):
+def _plan_grid(h: int, w: int, cap_area: int, ov_h: int, ov_w: int,
+               force_grid=None):
     """Uniform tile-grid planning: evenly-spaced SAME-SHAPE (th x tw) tiles
     covering h x w with th*tw <= cap_area and overlaps >= the requested
     minimums, minimizing total tile area (= redundant compute).
+
+    force_grid=(nr, nc) bypasses the cap search and plans exactly that
+    grid: measured per-tile wall time varies ~30% with tile ASPECT at
+    equal area on TPU (tools/tile_probe.py r4 capture — wide-W tiles map
+    better), so callers that have probed a faster aspect can serve it.
 
     Unlike the reference's fixed square stride sweep (attn_video_vae.py:
     1294+), this (a) produces ONE tile shape (one XLA compilation, full mesh
@@ -72,6 +78,12 @@ def _plan_grid(h: int, w: int, cap_area: int, ov_h: int, ov_w: int):
     the sweep's 12 mixed-shape tiles (1.71x).
 
     Returns (ys, th, xs, tw)."""
+    if force_grid is not None:
+        nr = max(1, min(int(force_grid[0]), h))
+        nc = max(1, min(int(force_grid[1]), w))
+        th = min(h, math.ceil((h + (nr - 1) * ov_h) / nr))
+        tw = min(w, math.ceil((w + (nc - 1) * ov_w) / nc))
+        return _even_starts(h, th, nr), th, _even_starts(w, tw, nc), tw
     best = None
     for nr in range(1, min(h, 64) + 1):
         th = min(h, math.ceil((h + (nr - 1) * ov_h) / nr))
@@ -307,7 +319,8 @@ class VideoVAE:
     def encode(self, x: jnp.ndarray, tiled: bool = False,
                tile_size: Tuple[int, int] = (512, 512),
                tile_overlap: Tuple[int, int] = (64, 64),
-               tile_mode: str = "ref") -> jnp.ndarray:
+               tile_mode: str = "ref",
+               tile_grid: Tuple[int, int] = None) -> jnp.ndarray:
         """x: (B, T, H, W, 3) in [-1, 1], T % 4 == 1 -> latent mode
         (B, (T-1)/4+1, H/8, W/8, latent_channels).
 
@@ -337,7 +350,8 @@ class VideoVAE:
         rects = []
         fade_h, fade_w = lo_h, lo_w
         if tile_mode == "uniform":
-            ys, th, xs, tw = _plan_grid(H_lat, W_lat, lt_h * lt_w, lo_h, lo_w)
+            ys, th, xs, tw = _plan_grid(H_lat, W_lat, lt_h * lt_w, lo_h, lo_w,
+                                        force_grid=tile_grid)
             fade_h = min(lo_h, _min_overlap(ys, th)) or lo_h
             fade_w = min(lo_w, _min_overlap(xs, tw)) or lo_w
             rects = [(y, y + th, xx, xx + tw) for y in ys for xx in xs]
@@ -433,11 +447,14 @@ class VideoVAE:
     def decode(self, z: jnp.ndarray, tiled: bool = False,
                tile_size: Tuple[int, int] = (512, 512),
                tile_overlap: Tuple[int, int] = (64, 64),
-               tile_mode: str = "ref") -> jnp.ndarray:
+               tile_mode: str = "ref",
+               tile_grid: Tuple[int, int] = None) -> jnp.ndarray:
         """z: (B, Tl, h, w, latent) -> (B, (Tl-1)*4+1, 8h, 8w, 3).
 
         tile_mode as in encode(): "ref" = reference stride-sweep layout,
-        "uniform" = even same-shape grid."""
+        "uniform" = even same-shape grid. tile_grid=(nr, nc) forces that
+        uniform grid regardless of the area cap (tile aspect is a measured
+        ~30% per-tile wall-time lever — see _plan_grid)."""
         z = z.astype(self.dtype)
         B, Tl, h, w, _ = z.shape
         sf = self.cfg.spatial_downsample_factor
@@ -457,7 +474,8 @@ class VideoVAE:
         rects = []
         fade_h, fade_w = tile_overlap[0], tile_overlap[1]
         if tile_mode == "uniform":
-            ys, th, xs, tw = _plan_grid(h, w, lt_h * lt_w, lo_h, lo_w)
+            ys, th, xs, tw = _plan_grid(h, w, lt_h * lt_w, lo_h, lo_w,
+                                        force_grid=tile_grid)
             fade_h = min(tile_overlap[0], _min_overlap(ys, th) * sf) \
                 or tile_overlap[0]
             fade_w = min(tile_overlap[1], _min_overlap(xs, tw) * sf) \

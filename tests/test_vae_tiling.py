@@ -86,3 +86,38 @@ def test_tiled_decode_seam_psnr_at_serving_overlap():
     mse = float(np.mean((out - ref) ** 2))
     psnr = 10 * np.log10(rng_span ** 2 / mse)
     assert psnr >= 30.0, f"tiled(ov=64px) vs untiled decode: {psnr:.1f} dB"
+
+
+def test_forced_tile_grid_matches_planned_and_untiled():
+    """tile_grid=(nr, nc) forces exactly that uniform grid (the tile-aspect
+    serving lever: equal-area tiles differ ~30% in measured wall time on
+    TPU, tools/tile_probe.py r4), and the stitched result still matches
+    untiled decode/encode at seam-PSNR level."""
+    key = jax.random.PRNGKey(0)
+    params = init_vae_params(key, CFG, dtype=jnp.float32)
+    vae = VideoVAE(params, CFG, dtype=jnp.float32)
+    z = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, 24, 32, 4),
+                          jnp.float32)
+    ref = np.asarray(vae.decode(z, tiled=False))
+    for grid in [(2, 2), (1, 3), (3, 1)]:
+        out = np.asarray(vae.decode(z, tiled=True, tile_size=(96, 96),
+                                    tile_overlap=(64, 64),
+                                    tile_mode="uniform", tile_grid=grid))
+        n_tiles = len(vae.last_decode_tiles)
+        assert n_tiles == grid[0] * grid[1], (grid, n_tiles)
+        rng_span = float(ref.max() - ref.min())
+        psnr = 10 * np.log10(rng_span ** 2
+                             / float(np.mean((out - ref) ** 2)))
+        assert psnr >= 30.0, (grid, psnr)
+
+    x = jax.random.uniform(jax.random.fold_in(key, 2), (1, 5, 96, 128, 3),
+                           jnp.float32, -1.0, 1.0)
+    ref_lat = np.asarray(vae.encode(x, tiled=False))
+    out_lat = np.asarray(vae.encode(x, tiled=True, tile_size=(64, 64),
+                                    tile_overlap=(32, 32),
+                                    tile_mode="uniform", tile_grid=(2, 3)))
+    assert len(vae.last_encode_tiles) == 6
+    span = float(ref_lat.max() - ref_lat.min())
+    psnr = 10 * np.log10(span ** 2
+                         / float(np.mean((out_lat - ref_lat) ** 2)))
+    assert psnr >= 25.0, psnr
