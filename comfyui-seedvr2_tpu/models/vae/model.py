@@ -23,6 +23,7 @@ Causal semantics (verified against the reference):
    head) so `remove_head` drops frame index 1 on the first slice only.
 """
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -33,6 +34,33 @@ from ...ops.layers import silu
 
 
 State = Optional[Dict[str, jnp.ndarray]]
+
+# Convs whose contraction K = kt*kh*kw*ci fits one MXU lane tile (<= 128)
+# run as an im2col patch-matmul instead of conv_general_dilated: at Ci=3
+# (the encoder's conv_in, reference Encoder3D attn_video_vae.py:671+) the
+# stock conv lowering measured 0.2 TF/s isolated on v5e vs 2.7 TF/s for
+# the bit-exact im2col form (tools/conv_in_study.py, r4 capture).
+# Env kill switch: SEEDVR2_CONV_IM2COL=0.
+_IM2COL_MAX_K = 128 if os.environ.get("SEEDVR2_CONV_IM2COL", "1") != "0" \
+    else 0
+
+
+def _conv3d_im2col(x_ext: jnp.ndarray, w: jnp.ndarray,
+                   s_pad) -> jnp.ndarray:
+    """3D conv as tap-major patch matmul — exact same arithmetic as the
+    stock conv (same taps, same accumulation dtype), restructured so the
+    tiny-K contraction feeds the MXU as one (M, K) @ (K, Co) matmul."""
+    kt, kh, kw, ci, co = w.shape
+    xp = jnp.pad(x_ext, ((0, 0), (0, 0), s_pad[0], s_pad[1], (0, 0)))
+    T = xp.shape[1] - (kt - 1)
+    H = xp.shape[2] - (kh - 1)
+    W = xp.shape[3] - (kw - 1)
+    taps = [xp[:, dt:dt + T, dh:dh + H, dw:dw + W, :]
+            for dt in range(kt) for dh in range(kh) for dw in range(kw)]
+    p = jnp.stack(taps, axis=-2)
+    m = p.reshape(*p.shape[:-2], kt * kh * kw * ci)
+    return jnp.dot(m, w.reshape(kt * kh * kw * ci, co),
+                   preferred_element_type=jnp.float32).astype(x_ext.dtype)
 
 
 def _get(params: dict, path: str) -> dict:
@@ -75,6 +103,13 @@ def causal_conv3d(params: dict, path: str, x: jnp.ndarray, state: State,
 
     if new_state is not None and cache > 0:
         new_state[path] = x_ext[:, -cache:]
+
+    if (w.shape[0] * w.shape[1] * w.shape[2] * w.shape[3] <= _IM2COL_MAX_K
+            and stride == (1, 1, 1)):
+        out = _conv3d_im2col(x_ext.astype(x.dtype), w.astype(x.dtype), s_pad)
+        if "b" in p:
+            out = out + p["b"].astype(x.dtype)
+        return out
 
     # NB: no preferred_element_type=f32 here — the TPU conv accumulates in
     # fp32 internally regardless, while requesting an f32 *output* forces a

@@ -121,3 +121,46 @@ def test_forced_tile_grid_matches_planned_and_untiled():
     psnr = 10 * np.log10(span ** 2
                          / float(np.mean((out_lat - ref_lat) ** 2)))
     assert psnr >= 25.0, psnr
+
+
+def test_causal_conv_im2col_matches_conv3d():
+    """The small-K im2col branch of causal_conv3d (conv_in's 13x isolated
+    TPU win, tools/conv_in_study.py) is the same arithmetic as the stock
+    conv lowering — exact on fp32, including the carried cross-slice
+    state path and 1x1x1 kernels."""
+    from seedvr2_tpu.models.vae import model as vae_model
+
+    key = jax.random.PRNGKey(3)
+    cases = [
+        ((3, 3, 3, 3, 16), (1, 5, 12, 16, 3), 1),    # conv_in shape, K=81
+        ((3, 3, 3, 4, 8), (1, 5, 8, 8, 4), 1),       # K=108
+        ((1, 1, 1, 16, 8), (1, 3, 8, 8, 16), 0),     # quant-conv shape
+    ]
+    for (wk, xs, t_pad) in cases:
+        params = {"c": {
+            "w": jax.random.normal(jax.random.fold_in(key, 1), wk,
+                                   jnp.float32) * 0.1,
+            "b": jax.random.normal(jax.random.fold_in(key, 2), (wk[-1],),
+                                   jnp.float32) * 0.1,
+        }}
+        x = jax.random.normal(jax.random.fold_in(key, 3), xs, jnp.float32)
+        sp = ((1, 1), (1, 1)) if wk[0] == 3 else ((0, 0), (0, 0))
+
+        def run(max_k):
+            old = vae_model._IM2COL_MAX_K
+            vae_model._IM2COL_MAX_K = max_k
+            try:
+                st = {}
+                a = vae_model.causal_conv3d(params, "c", x, None,
+                                            t_pad=t_pad, s_pad=sp,
+                                            new_state=st)
+                b = vae_model.causal_conv3d(params, "c", x, st, t_pad=t_pad,
+                                            s_pad=sp)
+                return a, b
+            finally:
+                vae_model._IM2COL_MAX_K = old
+        (a_im, b_im), (a_cv, b_cv) = run(128), run(0)
+        np.testing.assert_allclose(np.asarray(a_im), np.asarray(a_cv),
+                                   rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(b_im), np.asarray(b_cv),
+                                   rtol=2e-6, atol=2e-6)
