@@ -81,12 +81,14 @@ def _shapes(on_tpu: bool):
 
         # 64 px tile overlap is the serving config: the reference model
         # API's own default (attn_video_vae.py:1184-1200), accuracy-gated
-        # by tests/test_vae_tiling.py (tiled-vs-untiled PSNR equal to the
-        # 128 px CLI default), and it cuts 4K grid redundancy
-        # decode 1.199x->1.081x / encode 1.203x->1.105x at these caps.
+        # by tests/test_vae_tiling.py. Caps are the r4-measured winners
+        # (tpu_session_r4.jsonl): encode 1536 -> 2x2 of 139x244 latent
+        # (4.71 s vs 5.11 at 1024); decode 1088 + the aspect-aware
+        # planner -> (4,2) of 74x244 (11.47 s vs 15.22 for the area-cost
+        # (2,4) of 139x126 and 12.36 for the r3 128 px config).
         return dict(dit_cfg=DIT_3B, dit7b_cfg=DIT_7B, vae_cfg=VAE_V3,
                     in_h=2160, in_w=3840, lt=2, lh=270, lw=480, txt_len=58,
-                    iters=2, enc_tile=(1024, 1024), dec_tile=(1088, 1088),
+                    iters=2, enc_tile=(1536, 1536), dec_tile=(1088, 1088),
                     tile_ov=(64, 64))
     from seedvr2_tpu.core.configs import VAEConfig, small_test_config
 

@@ -59,11 +59,31 @@ def _min_overlap(starts, tile):
                for i in range(len(starts) - 1))
 
 
+def _tile_cost_aspect(n_tiles: int, th: int, tw: int) -> float:
+    """Empirical v5e DECODE wall-time model for one uniform grid.
+
+    Measured (tools/tile_probe.py probe_aspect, 4K serving shape, r4
+    capture): per-area decode time grows with tile HEIGHT — 7.9e-5
+    s/latent-px at th=74 vs 10.9e-5 at th=139, while tw is nearly free
+    (74x166 and 74x244 tiles run at the same per-area rate). Fit:
+    t_tile ~ th*tw*(th + 250), plus a fixed per-tile term worth ~0.04 s
+    that stops the model from shredding the image into slivers. Ranks
+    the measured 4K grids correctly at the top: (4,2)=11.47 s <
+    (4,3)=11.55 < (5,2)=11.96 < (3,3)=12.49 < (2,4)=15.22."""
+    return float(n_tiles) * (float(th) * tw * (th + 250) + 600_000.0)
+
+
 def _plan_grid(h: int, w: int, cap_area: int, ov_h: int, ov_w: int,
-               force_grid=None):
+               force_grid=None, cost: str = "area"):
     """Uniform tile-grid planning: evenly-spaced SAME-SHAPE (th x tw) tiles
     covering h x w with th*tw <= cap_area and overlaps >= the requested
-    minimums, minimizing total tile area (= redundant compute).
+    minimums, minimizing total tile area (= redundant compute) when
+    cost="area", or the measured v5e decode wall-time model when
+    cost="aspect" (_tile_cost_aspect: equal-area decode tiles differ
+    ~30% in wall time by aspect, so the decoder plans by the fitted
+    model; the encoder keeps the area cost — no measured aspect
+    sensitivity there, and the model would extrapolate to unprobed
+    full-width strips).
 
     force_grid=(nr, nc) bypasses the cap search and plans exactly that
     grid: measured per-tile wall time varies ~30% with tile ASPECT at
@@ -102,9 +122,13 @@ def _plan_grid(h: int, w: int, cap_area: int, ov_h: int, ov_w: int,
         if nc_found is None:
             continue
         nc, tw = nc_found
-        cost = nr * nc * th * tw
-        if best is None or cost < best[0]:
-            best = (cost, nr, nc, th, tw)
+        # for fixed nr, the smallest fitting nc minimizes BOTH costs
+        # (nc*tw and the per-tile term grow with nc), so comparing one
+        # candidate per nr remains exhaustive under either model
+        c = (_tile_cost_aspect(nr * nc, th, tw) if cost == "aspect"
+             else float(nr * nc * th * tw))
+        if best is None or c < best[0]:
+            best = (c, nr, nc, th, tw)
     if best is None:  # cap smaller than any coverable tile: degenerate 1x1
         return [0], h, [0], w
     _, nr, nc, th, tw = best
@@ -475,7 +499,7 @@ class VideoVAE:
         fade_h, fade_w = tile_overlap[0], tile_overlap[1]
         if tile_mode == "uniform":
             ys, th, xs, tw = _plan_grid(h, w, lt_h * lt_w, lo_h, lo_w,
-                                        force_grid=tile_grid)
+                                        force_grid=tile_grid, cost="aspect")
             fade_h = min(tile_overlap[0], _min_overlap(ys, th) * sf) \
                 or tile_overlap[0]
             fade_w = min(tile_overlap[1], _min_overlap(xs, tw) * sf) \

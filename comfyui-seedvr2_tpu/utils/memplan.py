@@ -176,7 +176,12 @@ def plan_auto_tile(vae, kind: str, lat_hw: Tuple[int, int], batch: int,
         # memory verdict is for the grid that actually executes
         ov = (max(0, min(overlap_px[0] // sf, lt - 1)),
               max(0, min(overlap_px[1] // sf, lt - 1)))
-        ys, th, xs, tw = _plan_grid(h, w, lt * lt, *ov)
+        # same cost model as the serving path (decode plans by the
+        # measured aspect model) so the memory verdict is for the grid
+        # that actually executes
+        ys, th, xs, tw = _plan_grid(
+            h, w, lt * lt, *ov,
+            cost="aspect" if kind == "decode" else "area")
         sig = (th, tw, len(ys), len(xs))
         if sig in seen:
             continue

@@ -208,9 +208,12 @@ def parse_arguments():
     if args.preset == "throughput":
         # Apply the serving bundle only where the user left the default,
         # so explicit flags always win over the preset.
+        # encode 1536-cap measured 4.71 s vs 5.11 at 1024 (4K, r4 capture);
+        # decode keeps the 1088 cap — the aspect-aware planner turns it
+        # into the measured-fastest (4,2) grid of 74x244 latent tiles
         bundle = dict(quant="w8a8", tile_mode="uniform",
                       vae_encode_tiled=True, vae_decode_tiled=True,
-                      vae_encode_tile_size=1024, vae_decode_tile_size=1088,
+                      vae_encode_tile_size=1536, vae_decode_tile_size=1088,
                       vae_encode_tile_overlap=64, vae_decode_tile_overlap=64)
         for name, val in bundle.items():
             if getattr(args, name) == p.get_default(name):

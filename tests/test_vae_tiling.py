@@ -164,3 +164,32 @@ def test_causal_conv_im2col_matches_conv3d():
                                    rtol=2e-6, atol=2e-6)
         np.testing.assert_allclose(np.asarray(b_im), np.asarray(b_cv),
                                    rtol=2e-6, atol=2e-6)
+
+
+def test_aspect_cost_plans_measured_fastest_4k_grid():
+    """cost="aspect" reproduces the r4 TPU sweep's verdict at the 4K
+    serving shape: (4,2) of 74x244 latent tiles under the 1088-cap at the
+    64 px serving overlap (measured 11.47 s vs 15.22 s for the area-cost
+    pick (2,4) of 139x126 — tpu_session_r4.jsonl). The area cost is
+    unchanged (encode keeps it)."""
+    ys, th, xs, tw = _plan_grid(270, 480, 136 * 136, 8, 8, cost="aspect")
+    assert (len(ys), len(xs), th, tw) == (4, 2, 74, 244)
+    ys, th, xs, tw = _plan_grid(270, 480, 136 * 136, 8, 8)
+    assert (len(ys), len(xs), th, tw) == (2, 4, 139, 126)
+    # aspect planning still honors the cap + coverage invariants
+    rng = np.random.default_rng(1)
+    for _ in range(25):
+        h = int(rng.integers(8, 300))
+        w = int(rng.integers(8, 500))
+        ov = int(rng.integers(0, 16))
+        cap = int(rng.integers(64, h * w + 1))
+        ys, th, xs, tw = _plan_grid(h, w, cap, ov, ov, cost="aspect")
+        assert ys[0] == 0 and xs[0] == 0
+        assert ys[-1] + th >= h and xs[-1] + tw >= w
+        if len(ys) > 1 or len(xs) > 1:
+            assert th * tw <= cap
+        covered = np.zeros((h, w), bool)
+        for y in ys:
+            for x in xs:
+                covered[y:y + th, x:x + tw] = True
+        assert covered.all()

@@ -8,16 +8,11 @@ CLI defaults) can be set to the fewest-tiles grid that fits.
 
 Grids are planned at the SERVING overlap (64 px = 8 latent — the
 reference model API's own default, accuracy-gated in
-tests/test_vae_tiling.py), which already buys most of the redundancy:
-
-  decode grid frontier at 270x480 latent, 8-latent overlap
-    (tile cap)    grid    tile (latent)  redundant compute
-     1088^2       2x4      139x126        1.081x   <- serving default
-     1280^2       2x3      139x166        1.068x
-     1536^2       2x2      139x244        1.047x
-  (1152^2 plans the same 2x4 grid as 1088^2 at this overlap.)
-  encode is far lighter (~3.8 GiB at 1024^2): 1536^2 -> 2x2 of 139x244
-  (1.047x), 2176^2 -> 1x2 of 270x244 (1.017x), vs 1.105x at 1024^2.
+tests/test_vae_tiling.py) with the SERVING cost model (decode plans by
+the measured aspect model since the r4 capture; see
+docs/performance.md "tile aspect" section for the sweep this tool
+produced: decode winner (4,2) of 74x244 at 11.47 s, encode 1536-cap
+(2,2) of 139x244 at 4.71 s; decode caps >= 1280 exceed 16 GB HBM).
 
 Run on the TPU (one lane at a time keeps OOM blast radius small):
   python tools/tile_probe.py decode 1280 1536
@@ -58,7 +53,9 @@ def probe(kind: str, tile_px: int):
     vae = VideoVAE(init_vae_params(key, VAE_V3, dtype=jnp.bfloat16), VAE_V3)
     lt = tile_px // 8
     h, w = H4K // 8, W4K // 8
-    ys, th, xs, tw = _plan_grid(h, w, lt * lt, OV_LAT, OV_LAT)
+    ys, th, xs, tw = _plan_grid(h, w, lt * lt, OV_LAT, OV_LAT,
+                                cost="aspect" if kind == "decode"
+                                else "area")
     grid = (len(ys), len(xs))
     red = grid[0] * grid[1] * th * tw / (h * w)
     out = {"kind": kind, "tile_px": tile_px, "grid": grid,
@@ -208,7 +205,9 @@ def probe_mem(kind: str, tile_px: int):
     params = init_vae_params(key, VAE_V3, dtype=jnp.bfloat16)
     lt = tile_px // 8
     h, w = H4K // 8, W4K // 8
-    ys, th, xs, tw = _plan_grid(h, w, lt * lt, OV_LAT, OV_LAT)
+    ys, th, xs, tw = _plan_grid(h, w, lt * lt, OV_LAT, OV_LAT,
+                                cost="aspect" if kind == "decode"
+                                else "area")
     out = {"kind": f"{kind}_mem", "tile_px": tile_px,
            "grid": (len(ys), len(xs)), "tile_latent": (th, tw),
            "redundancy": round(len(ys) * len(xs) * th * tw / (h * w), 3)}

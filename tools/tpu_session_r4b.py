@@ -114,15 +114,21 @@ def main():
     # except (4,2)'s 18056 which sits just under it. (3,3)@128 reproduces
     # the round-3 serving config in this same session for a clean A/B.
     candidates = [
-        ("decode_aspect_3x3_ov64", 3, 3, 64),    # 96x166
-        ("decode_aspect_4x2_ov64", 4, 2, 64),    # 74x244 (wide)
-        ("decode_aspect_5x2_ov64", 5, 2, 64),    # 61x244 (wide, small)
-        ("decode_aspect_4x3_ov64", 4, 3, 64),    # 74x166
-        ("decode_aspect_3x3_ov128", 3, 3, 128),  # 101x171 = round-3 config
+        ("decode_aspect_3x3_ov64", "decode", 3, 3, 64),    # 96x166
+        ("decode_aspect_4x2_ov64", "decode", 4, 2, 64),    # 74x244 (wide)
+        ("decode_aspect_5x2_ov64", "decode", 5, 2, 64),    # 61x244
+        ("decode_aspect_4x3_ov64", "decode", 4, 3, 64),    # 74x166
+        ("decode_aspect_3x3_ov128", "decode", 3, 3, 128),  # 101x171 = r3
+        # encode aspect: both part-A encode points had th=139; test
+        # whether the decoder's short-tile preference holds for the
+        # encoder too (areas well under the known-fitting 33916)
+        ("encode_aspect_4x2_ov64", "encode", 4, 2, 64),    # 74x244
+        ("encode_aspect_3x2_ov64", "encode", 3, 2, 64),    # 96x244
+        ("encode_aspect_2x2_ov64", "encode", 2, 2, 64),    # 139x244 = cap-1536 re-run (im2col conv_in in-context A/B)
     ]
-    for name, nr, nc, ov in candidates:
-        guard(name, lambda a=(nr, nc, ov): tile_probe.probe_aspect(
-            "decode", a[0], a[1], a[2]))
+    for name, kind, nr, nc, ov in candidates:
+        guard(name, lambda a=(kind, nr, nc, ov): tile_probe.probe_aspect(
+            a[0], a[1], a[2], a[3]))
         for arr in jax.live_arrays():
             try:
                 arr.delete()
