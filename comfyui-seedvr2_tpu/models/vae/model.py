@@ -35,13 +35,18 @@ from ...ops.layers import silu
 
 State = Optional[Dict[str, jnp.ndarray]]
 
-# Convs whose contraction K = kt*kh*kw*ci fits one MXU lane tile (<= 128)
-# run as an im2col patch-matmul instead of conv_general_dilated: at Ci=3
-# (the encoder's conv_in, reference Encoder3D attn_video_vae.py:671+) the
-# stock conv lowering measured 0.2 TF/s isolated on v5e vs 2.7 TF/s for
-# the bit-exact im2col form (tools/conv_in_study.py, r4 capture).
-# Env kill switch: SEEDVR2_CONV_IM2COL=0.
-_IM2COL_MAX_K = 128 if os.environ.get("SEEDVR2_CONV_IM2COL", "1") != "0" \
+# OPT-IN (SEEDVR2_CONV_IM2COL=1): convs whose contraction K =
+# kt*kh*kw*ci fits one MXU lane tile (<= 128) run as an im2col
+# patch-matmul instead of conv_general_dilated. ISOLATED, the stock
+# conv_in (Ci=3, reference Encoder3D attn_video_vae.py:671+) measured
+# 0.2 TF/s on v5e vs 2.7 for the bit-exact im2col form
+# (tools/conv_in_study.py) — but IN-CONTEXT the full 4K tiled encode is
+# 170 ms SLOWER with it (4.88 vs 4.71 s, tools/encode_ab.py, same
+# session): inside the whole encoder program XLA fuses the stock conv's
+# producers/consumers well enough that the isolated win inverts. Default
+# off; kept because the exactness-tested lowering is the right starting
+# point on any future backend where the isolated gap survives fusion.
+_IM2COL_MAX_K = 128 if os.environ.get("SEEDVR2_CONV_IM2COL", "0") == "1" \
     else 0
 
 

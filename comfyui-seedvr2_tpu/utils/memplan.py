@@ -84,13 +84,18 @@ def reset_cache_for_tests() -> None:
 
 
 def _vae_signature(vae) -> str:
+    from ..models.vae import model as vae_model
+
     cfg = vae.cfg
     dev = jax.devices()[0]
     return "|".join(str(x) for x in (
         dev.platform, getattr(dev, "device_kind", ""),
         jnp.dtype(vae.dtype).name, cfg.block_out_channels,
         cfg.layers_per_block, cfg.latent_channels, cfg.norm_num_groups,
-        cfg.conv_quant))
+        cfg.conv_quant,
+        # the im2col lowering materializes a taps-major patch tensor, so
+        # the per-tile HBM demand depends on this switch
+        vae_model._IM2COL_MAX_K))
 
 
 def probe_tile_bytes(vae, kind: str, batch: int, frames: int,
