@@ -543,11 +543,48 @@ def _acquire_backend():
         jax.config.update("jax_platforms", "cpu")
     from seedvr2_tpu.utils.backend import acquire_backend
 
-    retry_budget = min(600.0, 0.4 * _budget())
+    # With nothing measured yet, the whole budget is worthless unless a
+    # backend comes up — so spend up to 80% of it retrying acquisition
+    # (the old min(600, 0.4*budget) cap stranded 900s of a 1500s budget
+    # in round 4 while the tunnel was recovering). Once phases have been
+    # measured, mid-run re-acquisition uses the smaller remaining slice
+    # (see _reacquire) because a partial result is already in hand.
+    retry_budget = 0.8 * _budget() if not _TIMES else _budget() - 60.0
     backend, _ = acquire_backend(
         give_up=lambda next_delay: _elapsed() + next_delay > retry_budget,
         note=_note)
     return backend
+
+
+# Error text that indicates the tunnel/backend died (retryable), as opposed
+# to a real bug in the phase code (not retryable).
+_TRANSIENT = ("UNAVAILABLE", "FAILED_PRECONDITION", "FailedPrecondition",
+              "DEADLINE_EXCEEDED", "Unable to initialize backend",
+              "Socket closed", "Connection reset", "INTERNAL")
+
+
+def _is_transient(exc: Exception) -> bool:
+    s = repr(exc)
+    return any(t in s for t in _TRANSIENT)
+
+
+def _reacquire() -> bool:
+    """Best-effort backend re-acquisition after a transient mid-run failure.
+
+    Returns True if a backend answered a probe compute. Bounded by the
+    remaining wall budget (minus a grace slice so at least one more phase
+    can still run)."""
+    from seedvr2_tpu.utils.backend import acquire_backend
+
+    try:
+        acquire_backend(
+            give_up=lambda next_delay: (
+                _elapsed() + next_delay > _budget() - _EST_PHASE_S),
+            note=_note)
+        return True
+    except Exception as exc:  # noqa: BLE001 — give up, keep partials
+        _note(f"re-acquire gave up: {exc!r}")
+        return False
 
 
 # Shared with the SIGTERM handler so a driver timeout still flushes a
@@ -567,16 +604,27 @@ def _run_phases(p):
     times = _TIMES
     for ph in CORE:
         _note(f"phase {ph}: starting")
-        try:
-            times[ph] = PHASES[ph](p)
-            _note(f"phase {ph}: {times[ph]:.3f} s/iter")
-        except Exception as exc:  # noqa: BLE001 — always leave a JSON line
-            _note(f"phase {ph} FAILED: {exc!r}")
+        for attempt in (1, 2):
+            try:
+                times[ph] = PHASES[ph](p)
+                _note(f"phase {ph}: {times[ph]:.3f} s/iter")
+                break
+            except Exception as exc:  # noqa: BLE001 — always leave a JSON line
+                _note(f"phase {ph} FAILED (attempt {attempt}): {exc!r}")
+                # A tunnel drop mid-run is transient: re-acquire the backend
+                # (bounded by the remaining budget) and retry the phase once
+                # so one blip doesn't zero the rest of the run.
+                if attempt == 1 and _is_transient(exc) and _reacquire():
+                    _note(f"phase {ph}: backend re-acquired, retrying")
+                    continue
+                _sweep()
+                _emit(times, error=f"phase {ph}: {exc!r}")
+                break
+        else:  # pragma: no cover — loop always breaks
+            pass
+        if ph in times:
             _sweep()
-            _emit(times, error=f"phase {ph}: {exc!r}")
-            continue
-        _sweep()
-        _emit(times)
+            _emit(times)
 
     for lane in _lanes():
         if _elapsed() + _EST_LANE_S.get(lane, _EST_PHASE_S) > _budget():
@@ -595,6 +643,9 @@ def _run_phases(p):
             _note(f"lane {lane} FAILED: {exc!r}")
             _sweep()
             _emit(times, error=f"lane {lane}: {exc!r}")
+            if _is_transient(exc):
+                # Heal the backend so one blip doesn't doom later lanes.
+                _reacquire()
             continue
         _sweep()
         _emit(times)

@@ -223,10 +223,19 @@ def sniff_vae_config(state: Dict[str, np.ndarray], base) -> "object":
     layers_per_block = 1 + max(int(m.group(1)) for k in state
                                for m in [res_pat.match(k)] if m)
     temporal_scale_num = 0
+    saw_5d_downsampler = False
     for i in range(n_blocks - 1):
         w = get(f"encoder.down_blocks.{i}.downsamplers.0.conv.weight")
-        if w is not None and w.ndim == 5 and w.shape[2] == 3:
-            temporal_scale_num += 1
+        if w is not None and w.ndim == 5:
+            saw_5d_downsampler = True
+            if w.shape[2] == 3:
+                temporal_scale_num += 1
+    if not saw_5d_downsampler and n_blocks > 1:
+        # 2D-stored checkpoint: temporal kernel depth is not expressible in
+        # the file (the reference reads it off the constructed module during
+        # inflation, causal_inflation_lib.py:473-495) — keep the base
+        # config's temporal structure.
+        temporal_scale_num = base.temporal_scale_num
     gcd = int(np.gcd.reduce(chans))
     groups = max(g for g in range(1, min(gcd, base.norm_num_groups) + 1)
                  if gcd % g == 0)
@@ -245,6 +254,102 @@ def sniff_vae_config(state: Dict[str, np.ndarray], base) -> "object":
         scaling_factor=base.scaling_factor,
         shifting_factor=base.shifting_factor,
     )
+
+
+def vae_template_shapes(cfg=None) -> Dict[str, tuple]:
+    """Flat reference-layout key -> torch-layout weight shape for a VAE
+    config, derived from our own initializer via jax.eval_shape (no compute).
+
+    Used by 2D->3D conv inflation to recover each conv's temporal kernel
+    depth, which a 2D-stored checkpoint cannot express (the reference reads
+    it off the constructed module; src/models/video_vae_v3/modules/
+    causal_inflation_lib.py:473-495)."""
+    import jax
+
+    from ..models.vae.pipeline_vae import init_vae_params
+
+    if cfg is None:
+        from .configs import VAE_V3 as cfg  # noqa: N811
+
+    tree = jax.eval_shape(
+        lambda k: init_vae_params(k, cfg), jax.random.PRNGKey(0))
+
+    out: Dict[str, tuple] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}{k}.")
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}{i}.")
+        else:
+            key, shape = prefix[:-1], tuple(node.shape)
+            parts = key.split(".")
+            leaf = parts[-1]
+            if leaf == "w":
+                parts[-1] = "weight"
+                if len(shape) == 2:  # (in, out) -> (out, in)
+                    shape = (shape[1], shape[0])
+                elif len(shape) == 5:  # (kt,kh,kw,ci,co) -> (co,ci,kt,kh,kw)
+                    shape = (shape[4], shape[3], shape[0], shape[1], shape[2])
+            elif leaf == "b":
+                parts[-1] = "bias"
+            out[".".join(parts)] = shape
+
+    walk(tree, "")
+    return out
+
+
+def inflate_vae_2d_convs(state: Dict[str, np.ndarray], cfg=None,
+                         mode: str = "tail") -> Dict[str, np.ndarray]:
+    """Inflate 2D-stored conv weights (out,in,kh,kw) to the 3D causal conv
+    layout (out,in,kt,kh,kw) at load, matching the reference's
+    InflatedCausalConv3d state-dict hook (src/models/video_vae_v3/modules/
+    causal_inflation_lib.py:440-495):
+
+      - "tail": zero temporal taps except the LAST, which carries the 2D
+        weight (a causal conv then reproduces the 2D conv per frame).
+      - "replicate": the 2D weight repeated across kt, divided by kt.
+
+    Biases are 1D in both the 2D and 3D modules (copied unchanged). Keys are
+    torch-layout (post key-fixups, pre convert_state_dict). No-op when the
+    checkpoint already stores 5D convs (published ema_vae_fp16 layout).
+    Raises with a clear message when a 4D weight has no 5D counterpart in
+    the target architecture or its spatial geometry disagrees."""
+    if mode not in ("tail", "replicate"):
+        raise ValueError(f"unknown inflation mode {mode!r}")
+    four_d = [k for k, v in state.items()
+              if k.endswith(".weight") and np.asarray(v).ndim == 4]
+    if not four_d:
+        return state
+    template = vae_template_shapes(cfg)
+    out = dict(state)
+    for k in four_d:
+        tgt = template.get(k)
+        if tgt is None:
+            raise ValueError(
+                f"VAE checkpoint stores 2D conv weight {k!r} but the target "
+                "architecture has no such conv — cannot inflate. If this is "
+                "a non-published architecture, provide a 3D (5-dim) "
+                "checkpoint.")
+        if len(tgt) == 4:
+            continue  # genuinely-2D conv in the target too: no inflation
+        w2 = np.asarray(state[k])
+        o, i, kh, kw = w2.shape
+        to, ti, kt, th, tw = tgt
+        if (o, i, kh, kw) != (to, ti, th, tw):
+            raise ValueError(
+                f"VAE 2D conv weight {k!r} has shape {w2.shape}, "
+                f"incompatible with target 3D conv {tgt} — cannot inflate.")
+        if mode == "replicate":
+            w3 = np.repeat(w2[:, :, None], kt, axis=2) / float(kt)
+            w3 = w3.astype(w2.dtype)
+        else:
+            w3 = np.zeros((to, ti, kt, th, tw), dtype=w2.dtype)
+            w3[:, :, -1] = w2
+        out[k] = w3
+    return out
 
 
 def load_safetensors(path: str, dtype=jnp.bfloat16) -> dict:

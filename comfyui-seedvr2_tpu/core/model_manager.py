@@ -48,7 +48,9 @@ def _read_safetensors_numpy(path: str) -> Dict[str, np.ndarray]:
         for key in keys:
             try:
                 state[key] = f.get_tensor(key)
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, AttributeError):
+                # AttributeError: newer safetensors map fp8 to the (absent)
+                # np.float8_e4m3fn attribute instead of raising TypeError.
                 fallback_keys.append(key)
     if fallback_keys:
         import torch
@@ -156,7 +158,16 @@ def load_vae_checkpoint(path: str, dtype=COMPUTE_DTYPE):
                 any(t in key for t in ("to_q", "to_k", "to_v", "to_out")):
             val = val[:, :, 0, 0]
         fixed[key] = val
+    # Sniff the architecture first (channel geometry reads the same off 2D
+    # or 3D weights; temporal structure falls back to the published config
+    # when 2D-stored), then inflate 2D-stored conv weights to the 3D causal
+    # layout, matching the reference's InflatedCausalConv3d load hook
+    # (causal_inflation_lib.py:440-495; "tail" is the published models'
+    # mode). Inflation is a no-op for the published 5D checkpoints.
+    from .loader import inflate_vae_2d_convs
+
     cfg = sniff_vae_config(fixed, VAE_V3)
+    fixed = inflate_vae_2d_convs(fixed, cfg, mode="tail")
     return convert_state_dict(fixed, dtype=dtype), cfg
 
 

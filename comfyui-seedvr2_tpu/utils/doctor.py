@@ -131,9 +131,14 @@ def run_doctor(model_dir: Optional[str] = None, echo=print) -> int:
         echo(f"  {name}: {p or 'NOT FOUND (will attempt download)'}")
     from .text_embeds import find_embedding_path
 
+    from .text_embeds import ASSETS_DIR
+
     for emb in ("pos", "neg"):
         found = find_embedding_path(emb, dirs)
-        missing = "not found (zeros fallback; see --convert_embeddings)"
+        if found and os.path.dirname(found) == ASSETS_DIR:
+            found = f"{found} (packaged published embeddings)"
+        missing = ("NOT FOUND — published models will refuse to run "
+                   "unconditioned (pass --allow_zero_embeddings to bench)")
         echo(f"  {emb}_emb: {found or missing}")
 
     # backend ------------------------------------------------------------

@@ -187,6 +187,11 @@ def parse_arguments():
                     metavar=("SRC_DIR", "DST_DIR"),
                     help="convert pos_emb.pt/neg_emb.pt from SRC_DIR into "
                          "torch-free .npy files in DST_DIR, then exit")
+    pr.add_argument("--allow_zero_embeddings", action="store_true",
+                    help="benchmark-only: run a published-width model with "
+                         "zero text embeddings if none resolve (default: "
+                         "hard error — the packaged assets normally make "
+                         "this unreachable)")
 
     d = p.add_argument_group("Debug")
     d.add_argument("--doctor", action="store_true",
@@ -330,7 +335,8 @@ def process_frames(runner, frames: np.ndarray, args, debug,
                                             tile_debug=args.tile_debug)
     ctx["text_embeds"] = load_text_embeddings(
         [args.model_dir, os.path.dirname(os.path.abspath(__file__))], debug,
-        txt_dim=runner.dit_cfg.txt_in_dim)
+        txt_dim=runner.dit_cfg.txt_in_dim,
+        allow_zero=args.allow_zero_embeddings)
     debug.checkpoint("pre_phase1")
     with debug.profile("phase1_encode"):
         ctx = pipeline.encode_all_batches(
@@ -428,6 +434,11 @@ def process_video(args, debug):
             held = None
             prev_in_tail = None
         first_chunk = False
+        # Per-chunk host-memory checkpoint: with --debug the RSS delta
+        # between successive chunks makes the bounded-memory claim of
+        # --chunk_size observable (a growing RSS across chunks = a leak;
+        # reference tracks the same via psutil, memory_manager.py:166-208).
+        debug.checkpoint(f"chunk_written[{total_written}]")
 
     if writer is not None:
         writer.close()

@@ -46,8 +46,9 @@ def patched_cli(monkeypatch, tiny_runner):
               "neg": rng.standard_normal((9, 16)).astype(np.float32)}
     monkeypatch.setattr(inference_cli, "make_runner",
                         lambda args, debug: tiny_runner)
-    monkeypatch.setattr(inference_cli, "load_text_embeddings",
-                        lambda dirs, debug=None, txt_dim=None: embeds)
+    monkeypatch.setattr(
+        inference_cli, "load_text_embeddings",
+        lambda dirs, debug=None, txt_dim=None, allow_zero=False: embeds)
     return inference_cli
 
 
