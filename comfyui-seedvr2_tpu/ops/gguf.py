@@ -346,8 +346,21 @@ def read_gguf(path: str, keep_q8: bool = False, native_kquants: bool = False
             f.seek(data_start + offset)
             raw = np.frombuffer(f.read(nbytes), dtype=np.uint8)
             qtypes[name] = ttype
-            torch_shape = tuple(reversed(dims))
-            if keep_q8 and ttype == Q8_0 and len(dims) == 2 \
+            # ComfyUI-GGUF writers store >4D tensors flattened (GGUF caps
+            # dims at 4) and record the true torch shape in metadata; the
+            # reference recovers it the same way (model_loader.py:232-241).
+            logical = meta.get(f"comfy.gguf.orig_shape.{name}")
+            torch_shape = (tuple(int(v) for v in logical)
+                           if logical else tuple(reversed(dims)))
+            if int(np.prod(torch_shape)) != n_elem:
+                raise ValueError(
+                    f"{name}: comfy.gguf.orig_shape {torch_shape} does not "
+                    f"match the stored element count {n_elem}")
+            # Quantized serving layouts need a true 2D (out, in) matrix with
+            # blocks along `in` (the innermost stored axis); a tensor whose
+            # LOGICAL shape isn't 2D (e.g. a flattened conv) must dequantize
+            # dense instead.
+            if keep_q8 and ttype == Q8_0 and len(torch_shape) == 2 \
                     and dims[0] % QK == 0:
                 blocks = raw.reshape(-1, 34)
                 # torch layout (out, in) -> kernel layout (in, out):
@@ -358,7 +371,8 @@ def read_gguf(path: str, keep_q8: bool = False, native_kquants: bool = False
                 tensors[name] = {"q8": np.ascontiguousarray(q.T),
                                  "scales": np.ascontiguousarray(scales.T)}
                 continue
-            if native_kquants and ttype in (Q4_K, Q5_K) and len(dims) == 2 \
+            if native_kquants and ttype in (Q4_K, Q5_K) \
+                    and len(torch_shape) == 2 \
                     and dims[0] % QK_K == 0 and min(torch_shape) >= 1024:
                 # native affine serving: w = s*q - m per 32-group (exactly
                 # the reference reconstruction, no further requantization)
@@ -392,8 +406,10 @@ def read_gguf(path: str, keep_q8: bool = False, native_kquants: bool = False
                 continue
             flat = dequantize(raw, ttype, n_elem)
             # gguf dims are innermost-first; torch layout is the reverse
+            # (or the recorded logical shape when the writer flattened)
             w = flat.reshape(torch_shape)
-            if keep_q8 and ttype not in (F32, F16, BF16) and len(dims) == 2 \
+            if keep_q8 and ttype not in (F32, F16, BF16) \
+                    and len(torch_shape) == 2 \
                     and dims[0] % QK == 0 and min(torch_shape) >= 1024:
                 # K-quant formats (Q4_K_M etc.): requantize large linears to
                 # the Q8_0 serving layout so the fused dequant-matmul kernel
@@ -415,8 +431,18 @@ def read_gguf(path: str, keep_q8: bool = False, native_kquants: bool = False
 
 
 def load_gguf_state_dict(path: str, keep_q8: bool = False,
-                         native_kquants: bool = False
+                         native_kquants: bool = False,
+                         handle_prefix: str = "model.diffusion_model."
                          ) -> Dict[str, np.ndarray]:
+    """Tensors keyed for the model tree. ComfyUI-converted GGUF checkpoints
+    (the published SeedVR2 Q4_K_M/Q8_0 files) prefix every tensor with
+    `model.diffusion_model.`; when any tensor carries the prefix, it is
+    stripped and unprefixed tensors are dropped — the same contract as the
+    reference's _load_gguf_state (src/core/model_loader.py:160-190)."""
     tensors, _, _ = read_gguf(path, keep_q8=keep_q8,
                               native_kquants=native_kquants)
+    if handle_prefix and any(k.startswith(handle_prefix) for k in tensors):
+        n = len(handle_prefix)
+        tensors = {k[n:]: v for k, v in tensors.items()
+                   if k.startswith(handle_prefix)}
     return tensors
