@@ -65,12 +65,13 @@ def packed_attention(qkv, heads: int, d: int, cos_q, sin_q, cos_k, sin_k,
     into the rope tables; text rope is baked into the table rows. Routes to
     the Pallas kernel on TPU, else an equivalent jnp composition."""
     scale = (d ** -0.5) if scale is None else scale
-    if _DEFAULT_MODE == "flash" and _flash_available() \
-            and d % 128 == 0 and d <= 512:
-        from .flash_attention import flash_packed_attention
+    if _DEFAULT_MODE == "flash" and _flash_available():
+        from .flash_attention import (flash_packed_attention,
+                                      flash_packed_supported)
 
-        return flash_packed_attention(qkv, heads, d, cos_q, sin_q, cos_k,
-                                      sin_k, eps, kv_len, scale)
+        if flash_packed_supported(qkv.shape[1], heads, d):
+            return flash_packed_attention(qkv, heads, d, cos_q, sin_q,
+                                          cos_k, sin_k, eps, kv_len, scale)
     b, s, _ = qkv.shape
     x = qkv.reshape(b, s, 3, heads, d)
     q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
