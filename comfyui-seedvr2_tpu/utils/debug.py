@@ -104,6 +104,11 @@ class Debug:
             vm = psutil.virtual_memory()
             stats["ram_used_gb"] = (vm.total - vm.available) / 1024**3
             stats["ram_total_gb"] = vm.total / 1024**3
+            # Process RSS is the observable behind the streaming CLI's
+            # bounded-memory claim (--chunk_size): per-chunk checkpoints
+            # must show a flat RSS profile (reference tracks it via psutil
+            # in memory_manager.py:166-208).
+            stats["rss_gb"] = psutil.Process().memory_info().rss / 1024**3
         return stats
 
     def log_memory_state(self, label: str, **_kwargs):
@@ -116,6 +121,8 @@ class Debug:
                          f" (peak {s.get('hbm_peak_gb', 0):.2f}GB)")
         if "ram_used_gb" in s:
             parts.append(f"RAM {s['ram_used_gb']:.1f}/{s['ram_total_gb']:.1f}GB")
+        if "rss_gb" in s:
+            parts.append(f"RSS {s['rss_gb']:.2f}GB")
         self.log(f"{label}: {', '.join(parts)}", category="memory")
 
     # ------------------------------------------ checkpoints / env / summary
@@ -130,7 +137,8 @@ class Debug:
         self._checkpoints.append((label, state))
         if self.enabled:
             deltas = []
-            for key, short in (("hbm_used_gb", "HBM"), ("ram_used_gb", "RAM")):
+            for key, short in (("hbm_used_gb", "HBM"), ("ram_used_gb", "RAM"),
+                               ("rss_gb", "RSS")):
                 if key in state and key in prev:
                     deltas.append(f"{short} {state[key] - prev[key]:+.2f}GB")
             extra = f" (delta {', '.join(deltas)})" if deltas else ""
