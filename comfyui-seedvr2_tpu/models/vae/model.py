@@ -49,6 +49,13 @@ State = Optional[Dict[str, jnp.ndarray]]
 _IM2COL_MAX_K = 128 if os.environ.get("SEEDVR2_CONV_IM2COL", "0") == "1" \
     else 0
 
+# Decoder upsample as a single lhs-dilated conv (kernel == stride, a pure
+# scatter) instead of 1x1 conv + 8-axis pixel-shuffle transpose — attacks
+# the ~229 ms/tile "formatting" share of the 4K decode profile (VERDICT r4
+# next #3). Bit-exactness tested either way (tests/test_vae_parity.py);
+# default decided by the in-context A/B in tools/tpu_session_r5.py.
+_UPSAMPLE_CONVT = os.environ.get("SEEDVR2_UPSAMPLE_CONVT", "0") == "1"
+
 
 def _conv3d_im2col(x_ext: jnp.ndarray, w: jnp.ndarray,
                    s_pad) -> jnp.ndarray:
@@ -391,16 +398,45 @@ def _pixel_shuffle_3d(x: jnp.ndarray, sr: int, tr: int) -> jnp.ndarray:
     return x.reshape(b, t * tr, h * sr, w * sr, c)
 
 
+def _upsample_conv_transpose(x, p, sr: int, tr: int):
+    """upscale_conv (1x1x1, ch -> ch*sr*sr*tr) + pixel shuffle expressed as
+    ONE lhs-dilated conv: out[b, t*tr+z, h*sr+xi, w*sr+yi, c] =
+    x[b,t,h,w,:] @ W[:, ((xi*sr+yi)*tr+z)*C + c]. The kernel window equals
+    the stride, so the transposed conv is a pure scatter — the MXU writes
+    the shuffled layout directly and the 8-axis transpose copy of
+    _pixel_shuffle_3d never materializes. The phase-dependent bias (the
+    reference's per-(x,y,z,c) conv bias) broadcasts over free dim splits."""
+    ci = x.shape[-1]
+    w = p["w"][0, 0, 0].astype(x.dtype)                 # (ci, ratio*c)
+    c = w.shape[1] // (sr * sr * tr)
+    k = w.reshape(ci, sr, sr, tr, c).transpose(3, 1, 2, 0, 4)  # (tr,sr,sr,ci,c)
+    # conv_transpose correlates against the REVERSED taps (the scatter of
+    # x[t] lands at out[t*s + (k-1) - j]); flip so phase j means out offset j
+    k = k[::-1, ::-1, ::-1]
+    y = jax.lax.conv_transpose(
+        x, k, strides=(tr, sr, sr), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    b, t, h, wd, _ = x.shape
+    bias = p["b"].astype(x.dtype).reshape(sr, sr, tr, c)
+    bias = bias.transpose(2, 0, 1, 3)                   # (tr, sr, sr, c)
+    y = y.reshape(b, t, tr, h, sr, wd, sr, c) + bias[None, None, :, None,
+                                                     :, None, :, :]
+    return y.reshape(b, t * tr, h * sr, wd * sr, c)
+
+
 def _upsample3d(params, path, x, state, new_state, temporal_up: bool,
                 first_slice: bool):
     p = _get(params, f"{path}.upscale_conv")
-    # 1x1x1 conv ch -> ch * ratio
-    y = jnp.einsum("bthwc,co->bthwo", x,
-                   p["w"][0, 0, 0].astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
-    y = y + p["b"].astype(x.dtype)
     tr = 2 if temporal_up else 1
-    y = _pixel_shuffle_3d(y, 2, tr)
+    if _UPSAMPLE_CONVT:
+        y = _upsample_conv_transpose(x, p, 2, tr)
+    else:
+        # 1x1x1 conv ch -> ch * ratio
+        y = jnp.einsum("bthwc,co->bthwo", x,
+                       p["w"][0, 0, 0].astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y + p["b"].astype(x.dtype)
+        y = _pixel_shuffle_3d(y, 2, tr)
     if temporal_up and first_slice:
         # remove_head: drop duplicated frame 1 (causal_inflation_lib.py:424-432)
         y = jnp.concatenate([y[:, :1], y[:, 2:]], axis=1)

@@ -214,6 +214,14 @@ class VideoVAE:
         # Replaces the reference's per-GPU frame fan-out for the VAE phases,
         # which dominate 4K wall time (README.md:940).
         self.mesh = None
+        # Snapshot the module-level lowering switches at construction so
+        # the memplan probe signature keys off the values this instance
+        # was built under, not whatever the globals hold at probe time
+        # (A/B tools mutate them between variants; ADVICE r4 #3).
+        from . import model as _vae_model
+
+        self._im2col_max_k = _vae_model._IM2COL_MAX_K
+        self._upsample_convt = _vae_model._UPSAMPLE_CONVT
 
         cfg_ = cfg
 

@@ -93,9 +93,12 @@ def _vae_signature(vae) -> str:
         jnp.dtype(vae.dtype).name, cfg.block_out_channels,
         cfg.layers_per_block, cfg.latent_channels, cfg.norm_num_groups,
         cfg.conv_quant,
-        # the im2col lowering materializes a taps-major patch tensor, so
-        # the per-tile HBM demand depends on this switch
-        vae_model._IM2COL_MAX_K))
+        # lowering switches change the per-tile HBM demand (im2col
+        # materializes a taps-major patch tensor; conv-transpose upsample
+        # skips the shuffle temp). Prefer the instance's construction-time
+        # snapshot over the mutable globals (ADVICE r4 #3).
+        getattr(vae, "_im2col_max_k", vae_model._IM2COL_MAX_K),
+        getattr(vae, "_upsample_convt", vae_model._UPSAMPLE_CONVT)))
 
 
 def probe_tile_bytes(vae, kind: str, batch: int, frames: int,

@@ -327,3 +327,19 @@ def test_mesh_tile_parallel_matches_sequential(pair):
         vae.mesh = None
     np.testing.assert_allclose(par_enc, seq_enc, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(par_dec, seq_dec, rtol=1e-5, atol=1e-5)
+
+
+def test_convt_upsample_matches_pixel_shuffle(pair, monkeypatch):
+    """SEEDVR2_UPSAMPLE_CONVT=1 (upsample as one lhs-dilated conv) must
+    reproduce the stock einsum + pixel-shuffle decode (same math, different
+    lowering; tools/tpu_session_r5.py A/Bs the wall time on chip)."""
+    from seedvr2_tpu.models.vae import model as M
+
+    _, vae = pair
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 3, LATENT)), jnp.float32)
+    stock = np.asarray(vae.decode(z))
+    monkeypatch.setattr(M, "_UPSAMPLE_CONVT", True)
+    vae2 = VideoVAE(vae.params, vae.cfg, dtype=jnp.float32)
+    convt = np.asarray(vae2.decode(z))
+    np.testing.assert_allclose(convt, stock, rtol=2e-5, atol=2e-5)

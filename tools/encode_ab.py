@@ -45,12 +45,27 @@ def main():
     def force(x):
         return float(jnp.mean(x.astype(jnp.float32)))
 
+    # Probe the EXACT tile the timed encode below will plan (cap 1536,
+    # 64 px overlap) instead of inlining the planner's output — so a
+    # planner/ladder change can't silently desynchronize the reported
+    # per-tile HBM numbers from the executed grid (ADVICE r4 #1).
+    import statistics
+
+    from seedvr2_tpu.models.vae.pipeline_vae import _plan_grid
+
+    sf = VAE_V3.spatial_downsample_factor
+    cap_lat = 1536 // sf
+    ov_lat = 64 // sf
+    _, th_lat, _, tw_lat = _plan_grid(2160 // sf, 3840 // sf,
+                                      cap_lat * cap_lat, ov_lat, ov_lat)
+
     out = {}
     for tag, max_k in (("im2col_on", 128), ("im2col_off", 0)):
         vae_model._IM2COL_MAX_K = max_k
         vae = VideoVAE(params, VAE_V3)  # fresh instance -> fresh jits
         try:
-            mem_b = memplan.probe_tile_bytes(vae, "encode", 1, 5, 139, 244)
+            mem_b = memplan.probe_tile_bytes(vae, "encode", 1, 5,
+                                             th_lat, tw_lat)
         except Exception as exc:  # noqa: BLE001
             mem_b = f"probe failed: {exc!r}"[:120]
 
@@ -62,11 +77,19 @@ def main():
         t0 = time.perf_counter()
         force(enc(0))
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        force(enc(1))
-        run_s = time.perf_counter() - t0
+        # >=3 timed reps, report median + spread (ADVICE r4 #2: the r4
+        # opt-in revert rested on one 3.6% single-rep delta against a
+        # documented multi-second session variance)
+        times = []
+        for i in range(1, 4):
+            t0 = time.perf_counter()
+            force(enc(i))
+            times.append(time.perf_counter() - t0)
         out[tag] = {"compile_plus_run_s": round(compile_s, 2),
-                    "run_s": round(run_s, 2),
+                    "run_median_s": round(statistics.median(times), 3),
+                    "run_min_s": round(min(times), 3),
+                    "run_max_s": round(max(times), 3),
+                    "probe_tile_lat": [th_lat, tw_lat],
                     "tile_mem_gib": (round(mem_b / 2**30, 2)
                                      if isinstance(mem_b, int) else mem_b)}
         print(json.dumps({tag: out[tag]}), flush=True)
