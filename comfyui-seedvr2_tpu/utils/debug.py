@@ -18,6 +18,27 @@ except ImportError:  # pragma: no cover
     psutil = None
 
 
+def _rank_tag() -> str:
+    """' [rankN]' on multihost fleets, '' single-process (reference
+    common/logger.py rank-tagged logging). Reads jax's DISTRIBUTED state
+    (set only by jax.distributed.initialize, i.e. --num_hosts fleets) —
+    never jax.process_count(), which would initialize a backend as a
+    side effect of logging."""
+    import sys
+
+    if "jax" not in sys.modules:
+        return ""
+    try:
+        from jax._src import distributed
+
+        st = distributed.global_state
+        if st.num_processes and st.num_processes > 1:
+            return f" [rank{st.process_id}]"
+    except Exception:  # noqa: BLE001 — private API drift: tag is optional
+        pass
+    return ""
+
+
 class Debug:
     def __init__(self, enabled: bool = False, profile_dir: Optional[str] = None):
         self.enabled = enabled
@@ -35,7 +56,8 @@ class Debug:
             return
         indent = "  " * indent_level
         ts = time.strftime("%H:%M:%S")
-        print(f"[{ts}] [{category}] {indent}{message}", flush=True)
+        print(f"[{ts}]{_rank_tag()} [{category}] {indent}{message}",
+              flush=True)
 
     # -------------------------------------------------------------- timers
 

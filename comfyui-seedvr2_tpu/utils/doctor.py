@@ -153,4 +153,14 @@ def run_doctor(model_dir: Optional[str] = None, echo=print) -> int:
                 if "hbm_limit_gb" in r else ""))
         return 0
     echo(f"backend UNAVAILABLE: {r.get('error')}")
+    if "still blocked" in str(r.get("error", "")):
+        # The probe thread is stranded inside a wedged C++ init RPC;
+        # normal interpreter teardown makes its C++ unwind call
+        # std::terminate ("exception not rethrown" abort). Skip teardown:
+        # the report is already printed and 3 is the documented code.
+        import sys
+
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(3)
     return 3
