@@ -52,9 +52,11 @@ _IM2COL_MAX_K = 128 if os.environ.get("SEEDVR2_CONV_IM2COL", "0") == "1" \
 # Decoder upsample as a single lhs-dilated conv (kernel == stride, a pure
 # scatter) instead of 1x1 conv + 8-axis pixel-shuffle transpose — attacks
 # the ~229 ms/tile "formatting" share of the 4K decode profile (VERDICT r4
-# next #3). Bit-exactness tested either way (tests/test_vae_parity.py);
-# default decided by the in-context A/B in tools/tpu_session_r5.py.
-_UPSAMPLE_CONVT = os.environ.get("SEEDVR2_UPSAMPLE_CONVT", "0") == "1"
+# next #3). Bit-equal to the stock path (tests/test_vae_parity.py).
+# DEFAULT ON: the in-context 4K A/B (tools/tpu_session_r5.py upsample_ab,
+# 3 reps each, one session) measured 11.363 s median vs 11.545 stock
+# (-182 ms); SEEDVR2_UPSAMPLE_CONVT=0 reverts.
+_UPSAMPLE_CONVT = os.environ.get("SEEDVR2_UPSAMPLE_CONVT", "1") == "1"
 
 
 def _conv3d_im2col(x_ext: jnp.ndarray, w: jnp.ndarray,

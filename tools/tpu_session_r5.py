@@ -212,7 +212,7 @@ def upsample_ab():
         out[tag] = _reps(run, 3)
         out[tag]["n_tiles"] = len(vae.last_decode_tiles or [])
         del vae
-    M._UPSAMPLE_CONVT = os.environ.get("SEEDVR2_UPSAMPLE_CONVT", "0") == "1"
+    M._UPSAMPLE_CONVT = os.environ.get("SEEDVR2_UPSAMPLE_CONVT", "1") == "1"
     for leaf in jax.tree.leaves(params):
         try:
             leaf.delete()
