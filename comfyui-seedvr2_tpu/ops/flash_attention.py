@@ -87,6 +87,33 @@ def flash_packed_supported(s: int, heads: int, d: int) -> bool:
             _head_group(heads, _round_up(s, _LANE), d, 4) > 0)
 
 
+def _osm_update(s, vblk, m, l, acc, first: bool):
+    """One online-softmax accumulator update. `first` is static: the first
+    k-block needs no running-max correction (m starts at -inf, so corr
+    would be exp(-inf - m_new) = 0 and the corrected terms vanish) — on
+    single-k-block serving windows this removes every correction op. The
+    -1e30 clamp keeps fully-masked blocks NaN-free (valid-mask path)."""
+    if first:
+        m_new = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
+        p = jnp.exp(s - m_new)
+        l_new = jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = jax.lax.dot_general(
+            p.astype(_MXU_DTYPE), vblk.astype(_MXU_DTYPE),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    m_new = jnp.maximum(m_new, -1e30)
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m - m_new)
+    l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc * corr + jax.lax.dot_general(
+        p.astype(_MXU_DTYPE), vblk.astype(_MXU_DTYPE),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return m_new, l_new, acc_new
+
+
 def _rot_half(x: jnp.ndarray) -> jnp.ndarray:
     """In-kernel interleaved rotate-half: (2i, 2i+1) -> (-x[2i+1], x[2i]),
     expressed as lane rolls + parity select (no sub-lane reshapes)."""
@@ -122,16 +149,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
                 col = kb * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, dimension=1)
                 s = jnp.where(col < kv_len, s, -jnp.inf)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
-            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * corr + jax.lax.dot_general(
-                p.astype(_MXU_DTYPE), vblk.astype(_MXU_DTYPE),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m = m_new
+            m, l, acc = _osm_update(s, vblk, m, l, acc, kb == 0)
 
         o_ref[0, :, pl.ds(h * d, d)] = (acc / l).astype(o_ref.dtype)
 
@@ -171,16 +189,7 @@ def _fa_rope_kernel(cos_ref, sin_ref, q_ref, k_ref, v_ref, o_ref, *,
                 col = kb * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, dimension=1)
                 s = jnp.where(col < kv_len, s, -jnp.inf)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
-            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * corr + jax.lax.dot_general(
-                p.astype(_MXU_DTYPE), vblk.astype(_MXU_DTYPE),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m = m_new
+            m, l, acc = _osm_update(s, vblk, m, l, acc, kb == 0)
 
         o_ref[0, :, pl.ds(h * d, d)] = (acc / l).astype(o_ref.dtype)
 
@@ -232,16 +241,7 @@ def _fa_packed_kernel(cosq_ref, sinq_ref, cosk_ref, sink_ref, q_ref, k_ref,
                 col = kb * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, dimension=1)
                 s = jnp.where(col < kv_len, s, -jnp.inf)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
-            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * corr + jax.lax.dot_general(
-                p.astype(_MXU_DTYPE), vblk.astype(_MXU_DTYPE),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m = m_new
+            m, l, acc = _osm_update(s, vblk, m, l, acc, kb == 0)
 
         o_ref[0, :, pl.ds(h * d, d)] = (acc / l).astype(o_ref.dtype)
 
@@ -340,17 +340,7 @@ def _fa_rope_mask_kernel(ids_ref, cos_ref, sin_ref, msk_ref, q_ref, k_ref,
             )
             valid = msk_ref[0, :, pl.ds(kb * block_k, block_k)]  # (1, bk)
             s = jnp.where(valid > 0.5, s, -jnp.inf)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            m_new = jnp.maximum(m_new, -1e30)  # all-masked-block guard
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
-            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * corr + jax.lax.dot_general(
-                p.astype(_MXU_DTYPE), vblk.astype(_MXU_DTYPE),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m = m_new
+            m, l, acc = _osm_update(s, vblk, m, l, acc, kb == 0)
 
         o_ref[0, :, pl.ds(h * d, d)] = (
             acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
