@@ -58,6 +58,15 @@ _IM2COL_MAX_K = 128 if os.environ.get("SEEDVR2_CONV_IM2COL", "0") == "1" \
 # (-182 ms); SEEDVR2_UPSAMPLE_CONVT=0 reverts.
 _UPSAMPLE_CONVT = os.environ.get("SEEDVR2_UPSAMPLE_CONVT", "1") == "1"
 
+# Causal head as a correction conv instead of a concat: the stock path
+# prepends the (kt-1)-frame head to the FULL activation (jnp.concatenate
+# materializes a whole extra copy per conv — XLA cannot fuse a concat into
+# a convolution input). By linearity, a zero-front-padded conv over x plus
+# a tiny (kt-1)-frame conv over the head added onto the first output
+# frames is exact. Opt-in pending an in-context A/B (same discipline as
+# the im2col switch above).
+_HEAD_CORRECTION = os.environ.get("SEEDVR2_HEAD_CORRECTION", "0") == "1"
+
 
 def _conv3d_im2col(x_ext: jnp.ndarray, w: jnp.ndarray,
                    s_pad) -> jnp.ndarray:
@@ -103,6 +112,32 @@ def causal_conv3d(params: dict, path: str, x: jnp.ndarray, state: State,
     kt = w.shape[0]
     st = stride[0]
     cache = kt - st
+
+    if _HEAD_CORRECTION and not pre_extended and stride == (1, 1, 1) \
+            and kt > 1 and x.shape[1] >= cache:
+        head = None
+        if state is not None and path in state:
+            head = state[path].astype(x.dtype)
+        elif t_pad > 0:
+            head = jnp.repeat(x[:, :1], 2 * t_pad, axis=1)
+        if head is not None and head.shape[1] == kt - 1:
+            if new_state is not None and cache > 0:
+                new_state[path] = x[:, -cache:]
+            wd = w.astype(x.dtype)
+            out = jax.lax.conv_general_dilated(
+                x.astype(x.dtype), wd, window_strides=stride,
+                padding=[(kt - 1, 0), s_pad[0], s_pad[1]],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            # head contribution to the first kt-1 output frames: a conv
+            # over just the head, back-padded so its taps line up
+            corr = jax.lax.conv_general_dilated(
+                head, wd, window_strides=stride,
+                padding=[(0, kt - 1), s_pad[0], s_pad[1]],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            out = out.at[:, : kt - 1].add(corr)
+            if "b" in p:
+                out = out + p["b"].astype(x.dtype)
+            return out
 
     if pre_extended:
         x_ext = x

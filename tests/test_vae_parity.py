@@ -343,3 +343,23 @@ def test_convt_upsample_matches_pixel_shuffle(pair, monkeypatch):
     vae2 = VideoVAE(vae.params, vae.cfg, dtype=jnp.float32)
     convt = np.asarray(vae2.decode(z))
     np.testing.assert_allclose(convt, stock, rtol=2e-5, atol=2e-5)
+
+
+def test_head_correction_conv_matches_concat(pair, monkeypatch):
+    """SEEDVR2_HEAD_CORRECTION=1 (zero-padded conv + tiny head-correction
+    conv, no extend_head concat) must reproduce the stock decode/encode
+    INCLUDING the sliced paths (state-carried heads)."""
+    from seedvr2_tpu.models.vae import model as M
+
+    _, vae = pair
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.standard_normal((1, 3, 4, 3, LATENT)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 9, 32, 24, 3)), jnp.float32)
+    stock_dec = np.asarray(vae.decode(z))
+    stock_enc = np.asarray(vae.encode(x))
+    monkeypatch.setattr(M, "_HEAD_CORRECTION", True)
+    vae2 = VideoVAE(vae.params, vae.cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(vae2.decode(z)), stock_dec,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vae2.encode(x)), stock_enc,
+                               rtol=2e-5, atol=2e-5)
