@@ -222,6 +222,7 @@ class VideoVAE:
 
         self._im2col_max_k = _vae_model._IM2COL_MAX_K
         self._upsample_convt = _vae_model._UPSAMPLE_CONVT
+        self._head_correction = _vae_model._HEAD_CORRECTION
 
         cfg_ = cfg
 

@@ -98,7 +98,8 @@ def _vae_signature(vae) -> str:
         # skips the shuffle temp). Prefer the instance's construction-time
         # snapshot over the mutable globals (ADVICE r4 #3).
         getattr(vae, "_im2col_max_k", vae_model._IM2COL_MAX_K),
-        getattr(vae, "_upsample_convt", vae_model._UPSAMPLE_CONVT)))
+        getattr(vae, "_upsample_convt", vae_model._UPSAMPLE_CONVT),
+        getattr(vae, "_head_correction", vae_model._HEAD_CORRECTION)))
 
 
 def probe_tile_bytes(vae, kind: str, batch: int, frames: int,
