@@ -23,6 +23,7 @@ import numpy as np
 
 from ..utils import color_fix, transforms
 from ..utils.debug import NULL_DEBUG, Debug
+from ..utils.partition import partition_by_size
 from .runner import VideoDiffusionRunner
 
 
@@ -179,8 +180,7 @@ def encode_all_batches(
           if runner.mesh is not None and not runner.encode_tiled else 1)
     chunk = max(dp, 1)
     ctx["all_latents"] = [None] * len(batches)
-    for c0 in range(0, len(batches), chunk):
-        wave = list(range(c0, min(c0 + chunk, len(batches))))
+    for wave in partition_by_size(range(len(batches)), chunk):
         transformed_wave = []
         for bi in wave:
             _check_interrupt(ctx)
@@ -214,11 +214,11 @@ def encode_all_batches(
                                + (transformed + noise) * blend)
             transformed_wave.append(transformed.astype(runner.compute_dtype))
 
-        debug.start_timer(f"vae_encode_{c0}")
+        debug.start_timer(f"vae_encode_{wave[0]}")
         latents = runner.vae_encode(transformed_wave)
         for bi, latent in zip(wave, latents):
             ctx["all_latents"][bi] = jax.device_get(latent)
-        debug.end_timer(f"vae_encode_{c0}",
+        debug.end_timer(f"vae_encode_{wave[0]}",
                         f"vae encode batches {wave[0]}-{wave[-1]}")
         ctx["encode_tile_boundaries"] = list(
             getattr(runner.vae, "last_encode_tiles", []))
@@ -296,9 +296,8 @@ def upscale_all_batches(
     results: list = [None] * n
     done = 0
     for idxs in groups.values():
-        for c0 in range(0, len(idxs), chunk):
+        for call_idx in partition_by_size(idxs, chunk):
             _check_interrupt(ctx)
-            call_idx = idxs[c0:c0 + chunk]
             real = len(call_idx)
             pad = (-real) % chunk
             call_idx = call_idx + [call_idx[-1]] * pad
@@ -356,9 +355,8 @@ def decode_all_batches(
     dp = (runner.mesh.shape.get("dp", 1)
           if runner.mesh is not None and not runner.decode_tiled else 1)
     chunk = max(dp, 1)
-    for c0 in range(0, n, chunk):
+    for wave in partition_by_size(range(n), chunk):
         _check_interrupt(ctx)
-        wave = list(range(c0, min(c0 + chunk, n)))
         samples = runner.vae_decode(
             [jnp.asarray(ctx["all_upscaled_latents"][bi]) for bi in wave])
         for bi, sample in zip(wave, samples):

@@ -328,9 +328,10 @@ class VideoDiffusionRunner:
         groups: Dict[tuple, list] = {}
         for i, x in enumerate(items):
             groups.setdefault(tuple(x.shape), []).append(i)
+        from ..utils.partition import partition_by_size
+
         for idxs in groups.values():
-            for c0 in range(0, len(idxs), dp):
-                wave = idxs[c0:c0 + dp]
+            for wave in partition_by_size(idxs, dp):
                 pad = (-len(wave)) % dp
                 sel = wave + [wave[-1]] * pad
                 batch = jnp.stack([items[i] for i in sel])

@@ -337,9 +337,10 @@ class VideoVAE:
         for i, c in enumerate(crops):
             by_shape.setdefault(c.shape, []).append(i)
         out = [None] * len(crops)
+        from ...utils.partition import partition_by_size
+
         for idxs in by_shape.values():
-            for w0 in range(0, len(idxs), nd):
-                wave = idxs[w0: w0 + nd]
+            for wave in partition_by_size(idxs, nd):
                 pad = nd - len(wave)
                 stack = [crops[i] for i in wave] + [crops[wave[0]]] * pad
                 batch = jax.device_put(
