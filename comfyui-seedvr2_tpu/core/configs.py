@@ -99,8 +99,20 @@ class VAEConfig:
     scaling_factor: float = 0.9152
     shifting_factor: float = 0.0
     # VideoAutoencoderKL default time_receptive_field="full": all resnet convs
-    # are full causal 3x3x3 (attn_video_vae.py:1087).
+    # are full causal 3x3x3 (attn_video_vae.py:1087). The legacy
+    # video_vae.py family defaults to "half": resnet conv2 is (1,3,3)
+    # (video_vae.py:273-280). At run time the temporal pad is derived from
+    # each conv's kernel depth, so this field only shapes initialization /
+    # template trees.
     time_receptive_field: str = "full"
+    # Legacy (video_vae.py VideoAutoencoderKL) structural switches: that
+    # family has NO mid-block spatial attention (video_vae.py:440-466) and
+    # optional 1x1x1 causal quant/post-quant convs around the latent
+    # (video_vae.py:765-784). The modern attn_video_vae config disables the
+    # quant convs and always has mid attention.
+    mid_attention: bool = True
+    use_quant_conv: bool = False
+    use_post_quant_conv: bool = False
     # "int8": resnet/conv_out 3x3x3 convs run on the int8 MXU via the
     # shifted-matmul kernel (ops/int8_conv.py) — opt-in serving mode
     # (--vae_quant int8); accuracy characterized in tests/test_int8_conv.py

@@ -239,6 +239,15 @@ def sniff_vae_config(state: Dict[str, np.ndarray], base) -> "object":
     gcd = int(np.gcd.reduce(chans))
     groups = max(g for g in range(1, min(gcd, base.norm_num_groups) + 1)
                  if gcd % g == 0)
+    # Legacy video_vae.py family markers: 1x1x1 quant/post-quant convs
+    # around the latent (video_vae.py:765-784), no mid-block attention
+    # (video_vae.py:440-466), and a depth-1 resnet conv2 kernel when
+    # time_receptive_field="half" (video_vae.py:273-280).
+    mid_attention = any(k.startswith("encoder.mid_block.attentions.")
+                        for k in state)
+    conv2 = get("encoder.down_blocks.0.resnets.0.conv2.weight")
+    trf = ("half" if conv2 is not None and conv2.ndim == 5
+           and conv2.shape[2] == 1 else base.time_receptive_field)
     return VAEConfig(
         in_channels=int(conv_in.shape[1]),
         out_channels=int(get("decoder.conv_out.weight").shape[0])
@@ -253,6 +262,10 @@ def sniff_vae_config(state: Dict[str, np.ndarray], base) -> "object":
         slicing_sample_min_size=base.slicing_sample_min_size,
         scaling_factor=base.scaling_factor,
         shifting_factor=base.shifting_factor,
+        time_receptive_field=trf,
+        mid_attention=mid_attention,
+        use_quant_conv=get("quant_conv.weight") is not None,
+        use_post_quant_conv=get("post_quant_conv.weight") is not None,
     )
 
 

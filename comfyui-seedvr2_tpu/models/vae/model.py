@@ -224,15 +224,21 @@ def _fused_norm_ok() -> bool:
 def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
                    x: jnp.ndarray, state: State, new_state: State,
                    num_groups: int, conv_quant: str = "none") -> jnp.ndarray:
-    """GroupNorm -> SiLU -> full causal (3,3,3) conv (optionally fused via
+    """GroupNorm -> SiLU -> causal conv (optionally fused via
     ops/fused_norm.py — see _fused_norm_ok; optionally int8 via
     ops/int8_conv.py when conv_quant == "int8" — the normalized input makes
-    the per-tensor activation scale well-conditioned)."""
+    the per-tensor activation scale well-conditioned).
+
+    The temporal pad is derived from the conv's kernel depth, so the same
+    code serves time_receptive_field="full" ((3,3,3) conv2, modern config)
+    and "half" ((1,3,3) conv2, the legacy video_vae.py family — whose state
+    dict simply stores a depth-1 kernel)."""
     p = _get(params, conv_path)
+    kt = int(p["w"].shape[0]) if "w" in p else 3
     from ...ops.int8_conv import (int8_conv3d, int8_conv_viable,
                                   norm_silu_quantize, quantize_conv_weight)
 
-    if conv_quant == "int8" and x.shape[0] == 1 \
+    if conv_quant == "int8" and x.shape[0] == 1 and kt == 3 \
             and int8_conv_viable(p["w"].shape[-2], p["w"].shape[-1],
                                  x.shape[3]):
         # non-viable shapes stay bf16: conv_out's Co=3 (output-critical RGB
@@ -259,7 +265,7 @@ def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
         if "b" in p:
             out = out + p["b"].astype(out.dtype)
         return out[None, :, :, :x.shape[3]]
-    if state is None and _fused_norm_ok():
+    if state is None and kt == 3 and _fused_norm_ok():
         from ...ops.fused_norm import norm_silu_head
 
         p = _get(params, norm_path)
@@ -269,14 +275,16 @@ def norm_silu_conv(params: dict, norm_path: str, conv_path: str,
                              pre_extended=True)
     h = frame_group_norm(params, norm_path, x, num_groups)
     h = silu(h)
-    return causal_conv3d(params, conv_path, h, state, t_pad=1,
+    return causal_conv3d(params, conv_path, h, state, t_pad=(kt - 1) // 2,
                          s_pad=((1, 1), (1, 1)), new_state=new_state)
 
 
 def resnet_block(params: dict, path: str, x: jnp.ndarray, state: State,
                  new_state: State, in_ch: int, out_ch: int,
                  num_groups: int = 32, conv_quant: str = "none") -> jnp.ndarray:
-    """ResnetBlock3D with full (3,3,3) causal convs (time_receptive_field=full)."""
+    """ResnetBlock3D. Conv kernel depths come from the params (full (3,3,3)
+    for the modern config; the legacy "half" family stores conv2 as
+    (1,3,3) — norm_silu_conv derives the causal pad either way)."""
     h = norm_silu_conv(params, f"{path}.norm1", f"{path}.conv1", x, state,
                        new_state, num_groups, conv_quant)
     h = norm_silu_conv(params, f"{path}.norm2", f"{path}.conv2", h, state,
@@ -367,10 +375,13 @@ def attn_block(params: dict, path: str, x: jnp.ndarray,
 
 
 def _mid_block(params, path, x, state, new_state, ch, num_groups,
-               conv_quant="none"):
+               conv_quant="none", attention=True):
+    """UNetMidBlock3D: resnet -> (spatial attention) -> resnet. The legacy
+    video_vae.py mid block has no attention (video_vae.py:440-466)."""
     x = resnet_block(params, f"{path}.resnets.0", x, state, new_state, ch, ch,
                      num_groups, conv_quant)
-    x = attn_block(params, f"{path}.attentions.0", x, num_groups)
+    if attention:
+        x = attn_block(params, f"{path}.attentions.0", x, num_groups)
     x = resnet_block(params, f"{path}.resnets.1", x, state, new_state, ch, ch,
                      num_groups, conv_quant)
     return x
@@ -418,9 +429,13 @@ def encoder_core(params: dict, cfg: VAEConfig, x: jnp.ndarray,
             )
 
     x = _mid_block(params, "encoder.mid_block", x, state, new_state,
-                   chans[-1], g)
+                   chans[-1], g, attention=cfg.mid_attention)
     x = norm_silu_conv(params, "encoder.conv_norm_out", "encoder.conv_out",
                        x, state, new_state, g)
+    if cfg.use_quant_conv:
+        # 1x1x1 causal conv over the moments (video_vae.py:765-775); depth-1
+        # kernel, so no temporal state.
+        x = causal_conv3d(params, "quant_conv", x, state, new_state=new_state)
     return x, new_state
 
 
@@ -517,10 +532,15 @@ def decoder_head(params: dict, cfg: VAEConfig, z: jnp.ndarray,
     chans = list(reversed(cfg.block_out_channels))
     first_slice = state is None
 
+    if cfg.use_post_quant_conv:
+        # 1x1x1 causal conv over the latent (video_vae.py:776-784).
+        z = causal_conv3d(params, "post_quant_conv", z, state,
+                          new_state=new_state)
     x = causal_conv3d(params, "decoder.conv_in", z, state, t_pad=1,
                       s_pad=((1, 1), (1, 1)), new_state=new_state)
     x = _mid_block(params, "decoder.mid_block", x, state, new_state,
-                   chans[0], cfg.norm_num_groups, cfg.conv_quant)
+                   chans[0], cfg.norm_num_groups, cfg.conv_quant,
+                   attention=cfg.mid_attention)
     x = _decoder_blocks(params, cfg, x, state, new_state, 0, split,
                         first_slice)
     return x, new_state

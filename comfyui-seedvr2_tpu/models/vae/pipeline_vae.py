@@ -592,9 +592,13 @@ def init_vae_params(key, cfg: VAEConfig = VAEConfig(),
     def norm(c):
         return {"weight": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
 
+    # legacy "half" receptive field stores conv2 as a depth-1 kernel
+    # (video_vae.py:273-280); the forward derives its pad from the shape
+    k2 = (3, 3, 3) if cfg.time_receptive_field != "half" else (1, 3, 3)
+
     def resnet(ci, co):
         p = {"norm1": norm(ci), "conv1": conv(ci, co),
-             "norm2": norm(co), "conv2": conv(co, co)}
+             "norm2": norm(co), "conv2": conv(co, co, k2)}
         if ci != co:
             p["conv_shortcut"] = conv(ci, co, (1, 1, 1))
         return p
@@ -621,8 +625,9 @@ def init_vae_params(key, cfg: VAEConfig = VAEConfig(),
     enc["mid_block"] = {
         "resnets": {"0": resnet(chans[-1], chans[-1]),
                     "1": resnet(chans[-1], chans[-1])},
-        "attentions": {"0": attn(chans[-1])},
     }
+    if cfg.mid_attention:
+        enc["mid_block"]["attentions"] = {"0": attn(chans[-1])}
     enc["conv_norm_out"] = norm(chans[-1])
     enc["conv_out"] = conv(chans[-1], 2 * cfg.latent_channels)
 
@@ -630,8 +635,9 @@ def init_vae_params(key, cfg: VAEConfig = VAEConfig(),
     dec = {"conv_in": conv(cfg.latent_channels, rev[0])}
     dec["mid_block"] = {
         "resnets": {"0": resnet(rev[0], rev[0]), "1": resnet(rev[0], rev[0])},
-        "attentions": {"0": attn(rev[0])},
     }
+    if cfg.mid_attention:
+        dec["mid_block"]["attentions"] = {"0": attn(rev[0])}
     in_ch = rev[0]
     for i in range(n):
         out_ch = rev[i]
@@ -660,4 +666,11 @@ def init_vae_params(key, cfg: VAEConfig = VAEConfig(),
             node[parts[-1]] = v
         return out
 
-    return {"encoder": nest(enc), "decoder": nest(dec)}
+    tree = {"encoder": nest(enc), "decoder": nest(dec)}
+    if cfg.use_quant_conv:
+        tree["quant_conv"] = conv(
+            2 * cfg.latent_channels, 2 * cfg.latent_channels, (1, 1, 1))
+    if cfg.use_post_quant_conv:
+        tree["post_quant_conv"] = conv(
+            cfg.latent_channels, cfg.latent_channels, (1, 1, 1))
+    return tree
