@@ -93,6 +93,9 @@ def _vae_signature(vae) -> str:
         jnp.dtype(vae.dtype).name, cfg.block_out_channels,
         cfg.layers_per_block, cfg.latent_channels, cfg.norm_num_groups,
         cfg.conv_quant,
+        # legacy-family structure switches change the traced program
+        cfg.mid_attention, cfg.use_quant_conv, cfg.use_post_quant_conv,
+        cfg.time_receptive_field,
         # lowering switches change the per-tile HBM demand (im2col
         # materializes a taps-major patch tensor; conv-transpose upsample
         # skips the shuffle temp). Prefer the instance's construction-time
