@@ -38,6 +38,26 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MiB/core; headroom for Mosaic temps
 _MXU_DTYPE = (jnp.float32 if os.environ.get("SEEDVR2_FA_FP32_MXU") == "1"
               else jnp.bfloat16)
 
+# exp2-domain online softmax (SEEDVR2_FA_EXP2=1): fold log2(e) into the q
+# scale so logits live in the log2 domain and every softmax `exp` becomes
+# the hardware-native `exp2`, deleting one full (bq, bk) VPU multiply per
+# k-block (exp(x) lowers to exp2(x * log2e)). Mathematically identical
+# softmax (the base cancels between numerator and the l normalizer when
+# max-tracking stays in the same domain). The serving kernels are
+# VPU-bound at S~512 windows, so this targets the measured 40 TF/s floor
+# (VERDICT r4 weak #5 thread).
+_EXP2 = os.environ.get("SEEDVR2_FA_EXP2", "0") == "1"
+_LOG2E = 1.4426950408889634
+
+
+def _scale_base(scale: float) -> float:
+    """Fold the exp->exp2 change of base into the q scale when enabled."""
+    return scale * _LOG2E if _EXP2 else scale
+
+
+def _exp(x):
+    return jnp.exp2(x) if _EXP2 else jnp.exp(x)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -95,7 +115,7 @@ def _osm_update(s, vblk, m, l, acc, first: bool):
     -1e30 clamp keeps fully-masked blocks NaN-free (valid-mask path)."""
     if first:
         m_new = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
-        p = jnp.exp(s - m_new)
+        p = _exp(s - m_new)
         l_new = jnp.sum(p, axis=-1, keepdims=True)
         acc_new = jax.lax.dot_general(
             p.astype(_MXU_DTYPE), vblk.astype(_MXU_DTYPE),
@@ -104,8 +124,8 @@ def _osm_update(s, vblk, m, l, acc, first: bool):
         return m_new, l_new, acc_new
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
     m_new = jnp.maximum(m_new, -1e30)
-    p = jnp.exp(s - m_new)
-    corr = jnp.exp(m - m_new)
+    p = _exp(s - m_new)
+    corr = _exp(m - m_new)
     l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = acc * corr + jax.lax.dot_general(
         p.astype(_MXU_DTYPE), vblk.astype(_MXU_DTYPE),
@@ -254,7 +274,7 @@ def flash_packed_attention(qkv, heads: int, d: int, cos_q, sin_q, cos_k,
     and text rope baked. Returns (B, S, H*D)."""
     b, s, _ = qkv.shape
     assert s % _LANE == 0, "caller must pre-pad S to lane alignment"
-    scale = (d ** -0.5) if scale is None else scale
+    scale = _scale_base((d ** -0.5) if scale is None else scale)
     h = heads
 
     hb = _head_group(h, s, d, 4)
@@ -355,7 +375,7 @@ def flash_windowed_attention(q, k, v, scale, rope_cos, rope_sin, table_ids,
     d, h = q.shape[-1], q.shape[-2]
     sq, sk = q.shape[-3], k.shape[-3]
     assert sq == sk, "windowed path is self-attention"
-    scale = (d ** -0.5) if scale is None else scale
+    scale = _scale_base((d ** -0.5) if scale is None else scale)
     batch_shape = q.shape[:-3]
 
     q3 = q.reshape((-1, sq, h * d))
@@ -449,7 +469,7 @@ def flash_attention(q, k, v, scale=None, rope_cos=None, rope_sin=None,
     h = q.shape[-2]
     sq, sk = q.shape[-3], k.shape[-3]
     kv_len = sk if kv_len is None else kv_len
-    scale = (d ** -0.5) if scale is None else scale
+    scale = _scale_base((d ** -0.5) if scale is None else scale)
     batch_shape = q.shape[:-3]
 
     q3 = q.reshape((-1, sq, h * d))   # free: (B, S, H, D) is contiguous
