@@ -546,10 +546,10 @@ def _acquire_backend():
     # With nothing measured yet, the whole budget is worthless unless a
     # backend comes up — so spend up to 80% of it retrying acquisition
     # (the old min(600, 0.4*budget) cap stranded 900s of a 1500s budget
-    # in round 4 while the tunnel was recovering). Once phases have been
-    # measured, mid-run re-acquisition uses the smaller remaining slice
-    # (see _reacquire) because a partial result is already in hand.
-    retry_budget = 0.8 * _budget() if not _TIMES else _budget() - 60.0
+    # in round 4 while the tunnel was recovering). This runs exactly once,
+    # before any phase; mid-run re-acquisition is _reacquire's job (bounded
+    # by the remaining budget, since a partial result is already in hand).
+    retry_budget = 0.8 * _budget()
     backend, _ = acquire_backend(
         give_up=lambda next_delay: _elapsed() + next_delay > retry_budget,
         note=_note)
@@ -562,9 +562,16 @@ _TRANSIENT = ("UNAVAILABLE", "FAILED_PRECONDITION", "FailedPrecondition",
               "DEADLINE_EXCEEDED", "Unable to initialize backend",
               "Socket closed", "Connection reset", "INTERNAL")
 
+# INTERNAL also prefixes deterministic compiler failures; retrying those
+# re-burns the budget on a failure that cannot succeed.
+_NOT_TRANSIENT = ("Mosaic failed", "Internal error in XLA",
+                  "RET_CHECK", "compilation failure")
+
 
 def _is_transient(exc: Exception) -> bool:
     s = repr(exc)
+    if any(t in s for t in _NOT_TRANSIENT):
+        return False
     return any(t in s for t in _TRANSIENT)
 
 

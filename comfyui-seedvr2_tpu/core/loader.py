@@ -328,8 +328,9 @@ def inflate_vae_2d_convs(state: Dict[str, np.ndarray], cfg=None,
     Biases are 1D in both the 2D and 3D modules (copied unchanged). Keys are
     torch-layout (post key-fixups, pre convert_state_dict). No-op when the
     checkpoint already stores 5D convs (published ema_vae_fp16 layout).
-    Raises with a clear message when a 4D weight has no 5D counterpart in
-    the target architecture or its spatial geometry disagrees."""
+    A 4D weight with no counterpart in the target architecture is carried
+    through unchanged (aux tensors from training exports); a weight the
+    architecture DOES consume raises when its spatial geometry disagrees."""
     if mode not in ("tail", "replicate"):
         raise ValueError(f"unknown inflation mode {mode!r}")
     four_d = [k for k, v in state.items()
@@ -341,11 +342,17 @@ def inflate_vae_2d_convs(state: Dict[str, np.ndarray], cfg=None,
     for k in four_d:
         tgt = template.get(k)
         if tgt is None:
-            raise ValueError(
-                f"VAE checkpoint stores 2D conv weight {k!r} but the target "
-                "architecture has no such conv — cannot inflate. If this is "
-                "a non-published architecture, provide a 3D (5-dim) "
-                "checkpoint.")
+            # Auxiliary tensor the model never reads (training-export
+            # discriminator/LPIPS heads, EMA shadows, ...): carry it
+            # through unchanged like convert_state_dict always has —
+            # only weights the architecture will consume must inflate.
+            import warnings
+
+            warnings.warn(
+                f"VAE checkpoint stores 4D weight {k!r} with no counterpart "
+                "in the target architecture; carried through uninflated "
+                "(unused by the model).", stacklevel=2)
+            continue
         if len(tgt) == 4:
             continue  # genuinely-2D conv in the target too: no inflation
         w2 = np.asarray(state[k])

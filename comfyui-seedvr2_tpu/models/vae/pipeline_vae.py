@@ -225,20 +225,43 @@ class VideoVAE:
         self._head_correction = _vae_model._HEAD_CORRECTION
 
         cfg_ = cfg
+        snapshot = (self._im2col_max_k, self._upsample_convt,
+                    self._head_correction)
 
-        @functools.partial(jax.jit)
+        def _pinned(fn):
+            """jit wrapper whose TRACE runs under the construction-time
+            switch snapshot, so the compiled program, the memplan
+            signature, and the instance always agree even if a caller
+            mutates the module globals between construction and the first
+            call (the jitted python body only executes at trace time)."""
+
+            def traced(*args):
+                saved = (_vae_model._IM2COL_MAX_K,
+                         _vae_model._UPSAMPLE_CONVT,
+                         _vae_model._HEAD_CORRECTION)
+                (_vae_model._IM2COL_MAX_K, _vae_model._UPSAMPLE_CONVT,
+                 _vae_model._HEAD_CORRECTION) = snapshot
+                try:
+                    return fn(*args)
+                finally:
+                    (_vae_model._IM2COL_MAX_K, _vae_model._UPSAMPLE_CONVT,
+                     _vae_model._HEAD_CORRECTION) = saved
+
+            return jax.jit(traced)
+
+        @_pinned
         def enc_first(p, x):
             return encoder_core(p, cfg_, x, None)
 
-        @functools.partial(jax.jit)
+        @_pinned
         def enc_rest(p, x, s):
             return encoder_core(p, cfg_, x, s)
 
-        @functools.partial(jax.jit)
+        @_pinned
         def dec_first(p, z):
             return decoder_core(p, cfg_, z, None)
 
-        @functools.partial(jax.jit)
+        @_pinned
         def dec_rest(p, z, s):
             return decoder_core(p, cfg_, z, s)
 
@@ -249,22 +272,23 @@ class VideoVAE:
         # ~9.6 GB of outputs (measured via memory_analysis), which both
         # blew the 16 GB chip on unsliced tile decodes and wasted ~10 GB
         # of write bandwidth per encode tile.
-        @functools.partial(jax.jit)
+        @_pinned
         def enc_first_only(p, x):
             return encoder_core(p, cfg_, x, None)[0]
 
-        @functools.partial(jax.jit)
+        @_pinned
         def enc_rest_only(p, x, s):
             return encoder_core(p, cfg_, x, s)[0]
 
-        @functools.partial(jax.jit)
+        @_pinned
         def dec_first_only(p, z):
             return decoder_core(p, cfg_, z, None)[0]
 
-        @functools.partial(jax.jit)
+        @_pinned
         def dec_rest_only(p, z, s):
             return decoder_core(p, cfg_, z, s)[0]
 
+        self._pinned = _pinned
         self._enc_first, self._enc_rest = enc_first, enc_rest
         self._dec_first, self._dec_rest = dec_first, dec_rest
         self._enc_first_only, self._enc_rest_only = enc_first_only, enc_rest_only
@@ -455,7 +479,7 @@ class VideoVAE:
             inv_c = jnp.asarray(inv_count)
             out_tile = (B, T, th * sf, tw * sf, 3)
 
-            @jax.jit
+            @self._pinned
             def run(params, z):
                 crops = jnp.stack([z[:, :, y:y_end, xx:x_end]
                                    for (y, y_end, xx, x_end) in rects_c])

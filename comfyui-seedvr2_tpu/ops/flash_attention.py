@@ -38,15 +38,17 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MiB/core; headroom for Mosaic temps
 _MXU_DTYPE = (jnp.float32 if os.environ.get("SEEDVR2_FA_FP32_MXU") == "1"
               else jnp.bfloat16)
 
-# exp2-domain online softmax (SEEDVR2_FA_EXP2=1): fold log2(e) into the q
-# scale so logits live in the log2 domain and every softmax `exp` becomes
-# the hardware-native `exp2`, deleting one full (bq, bk) VPU multiply per
-# k-block (exp(x) lowers to exp2(x * log2e)). Mathematically identical
-# softmax (the base cancels between numerator and the l normalizer when
-# max-tracking stays in the same domain). The serving kernels are
-# VPU-bound at S~512 windows, so this targets the measured 40 TF/s floor
-# (VERDICT r4 weak #5 thread).
-_EXP2 = os.environ.get("SEEDVR2_FA_EXP2", "0") == "1"
+# exp2-domain online softmax (DEFAULT ON; SEEDVR2_FA_EXP2=0 reverts):
+# fold log2(e) into the q scale so logits live in the log2 domain and
+# every softmax `exp` becomes the hardware-native `exp2`, deleting one
+# full (bq, bk) VPU multiply per k-block (exp(x) lowers to
+# exp2(x * log2e)). Mathematically identical softmax (the base cancels
+# between numerator and the l normalizer when max-tracking stays in the
+# same domain). The serving kernels are VPU-bound at S~512 windows;
+# measured at the 3B serving step (tools/tpu_session_r5d.py, one
+# session, 3 reps): exp 2.480 s (2.470-2.484) vs exp2 2.466 s
+# (2.464-2.471) — a ~0.6% win, consistent with the removed VPU pass.
+_EXP2 = os.environ.get("SEEDVR2_FA_EXP2", "1") == "1"
 _LOG2E = 1.4426950408889634
 
 
@@ -64,16 +66,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def attention_vmem_bytes(s_pad: int, hb: int, d: int, n_tables: int,
-                         itemsize: int = 2) -> int:
+                         itemsize: int = 2, block_q: int = None) -> int:
     """Per-program VMEM footprint of the flash kernels' block shapes for a
     head-group of `hb` heads: the full-S k/v head-group blocks, the fp32
     rope tables, and the q/out blocks — each blocked operand counted twice
     because the Mosaic pipeline keeps two buffers in flight. This is the
     budget `_head_group` plans against and tests/test_flash_attention.py
     bounds, so a VMEM assumption can't silently wedge at capture time
-    (VERDICT r4 weak #6)."""
+    (VERDICT r4 weak #6). `block_q` must match the kernel's actual q block
+    (min(512, sq_pad)); it defaults from `s_pad`, which is exact for the
+    self-attention paths (sq == sk) but an undercount for cross-attention
+    with sq > sk — those callers pass it explicitly."""
     hd = hb * d
-    block_q = min(512, s_pad)
+    if block_q is None:
+        block_q = min(512, s_pad)
     kv = 2 * 2 * s_pad * hd * itemsize        # k + v, double-buffered
     tables = 2 * n_tables * s_pad * d * 4     # fp32, double-allocated
     qio = 2 * 2 * block_q * hd * itemsize     # q + out, double-buffered
@@ -81,14 +87,14 @@ def attention_vmem_bytes(s_pad: int, hb: int, d: int, n_tables: int,
 
 
 def _head_group(h: int, s_pad: int = 512, d: int = 128,
-                n_tables: int = 2) -> int:
+                n_tables: int = 2, block_q: int = None) -> int:
     """Largest preferred head-group whose per-program blocks fit the VMEM
     budget at this kv length (0 when none fits, i.e. flash unsupported).
     Bigger groups amortize the k/v fetch across more heads; longer windows
     force smaller groups instead of wedging the compile."""
     for hb in (8, 4, 5, 2, 3, 7, 1):
         if h % hb == 0 and attention_vmem_bytes(
-                s_pad, hb, d, n_tables) <= _VMEM_BUDGET:
+                s_pad, hb, d, n_tables, block_q=block_q) <= _VMEM_BUDGET:
             return hb
     return 0
 
@@ -97,8 +103,9 @@ def flash_supported(q, k, v) -> bool:
     d = q.shape[-1]
     h = q.shape[-2]
     sk = k.shape[-3]
+    bq = min(512, _round_up(q.shape[-3], _LANE))
     return (d % _LANE == 0 and d <= 512 and
-            _head_group(h, _round_up(sk, _LANE), d, 2) > 0)
+            _head_group(h, _round_up(sk, _LANE), d, 2, block_q=bq) > 0)
 
 
 def flash_packed_supported(s: int, heads: int, d: int) -> bool:
@@ -485,8 +492,11 @@ def flash_attention(q, k, v, scale=None, rope_cos=None, rope_sin=None,
         k3 = jnp.pad(k3, ((0, 0), (0, sk_pad - sk), (0, 0)))
         v3 = jnp.pad(v3, ((0, 0), (0, sk_pad - sk), (0, 0)))
 
+    # block_q from sq_pad: the VMEM estimate must see the kernel's actual
+    # q/out block, which differs from the kv length for cross-attention
     hb = _head_group(h, sk_pad, d,
-                     2 if rope_cos is not None else 0)
+                     2 if rope_cos is not None else 0,
+                     block_q=min(512, sq_pad))
     block_q = min(512, sq_pad)
     while sq_pad % block_q:
         block_q //= 2

@@ -356,12 +356,15 @@ def read_gguf(path: str, keep_q8: bool = False, native_kquants: bool = False
                 raise ValueError(
                     f"{name}: comfy.gguf.orig_shape {torch_shape} does not "
                     f"match the stored element count {n_elem}")
-            # Quantized serving layouts need a true 2D (out, in) matrix with
-            # blocks along `in` (the innermost stored axis); a tensor whose
-            # LOGICAL shape isn't 2D (e.g. a flattened conv) must dequantize
-            # dense instead.
+            # Quantized serving layouts need a true 2D (out, in) matrix
+            # whose LOGICAL `in` axis is block-aligned (blocks must not
+            # straddle rows after the reshape); a tensor whose logical
+            # shape isn't 2D (e.g. a flattened conv) or whose `in` isn't
+            # block-aligned must dequantize dense instead. dims[0] (the
+            # stored innermost axis) is WRONG for 1D-stored tensors with
+            # orig_shape metadata — it would be the total element count.
             if keep_q8 and ttype == Q8_0 and len(torch_shape) == 2 \
-                    and dims[0] % QK == 0:
+                    and torch_shape[1] % QK == 0:
                 blocks = raw.reshape(-1, 34)
                 # torch layout (out, in) -> kernel layout (in, out):
                 # q (K, N) int8, scales (K//32, N) (ops/quant_matmul.py)
@@ -373,7 +376,8 @@ def read_gguf(path: str, keep_q8: bool = False, native_kquants: bool = False
                 continue
             if native_kquants and ttype in (Q4_K, Q5_K) \
                     and len(torch_shape) == 2 \
-                    and dims[0] % QK_K == 0 and min(torch_shape) >= 1024:
+                    and torch_shape[1] % QK_K == 0 \
+                    and min(torch_shape) >= 1024:
                 # native affine serving: w = s*q - m per 32-group (exactly
                 # the reference reconstruction, no further requantization)
                 blocks = raw.reshape(-1, BLOCK_SIZES[ttype][0])

@@ -119,12 +119,16 @@ def probe_tile_bytes(vae, kind: str, batch: int, frames: int,
     from ..models.vae.pipeline_vae import _decode_slices, _encode_slices
 
     cfg, sf = vae.cfg, vae.cfg.spatial_downsample_factor
+    # trace under the instance's construction-time switch snapshot
+    # (VideoVAE._pinned) so the probed program is the one the signature
+    # describes, even if a tool mutated the module globals since
+    pin = getattr(vae, "_pinned", jax.jit)
     if kind == "decode":
         shape = (batch, frames, th_lat, tw_lat, cfg.latent_channels)
-        fn = jax.jit(lambda p, z: _decode_slices(p, cfg, z))
+        fn = pin(lambda p, z: _decode_slices(p, cfg, z))
     else:
         shape = (batch, frames, th_lat * sf, tw_lat * sf, 3)
-        fn = jax.jit(lambda p, x: _encode_slices(p, cfg, x))
+        fn = pin(lambda p, x: _encode_slices(p, cfg, x))
     arg = jax.ShapeDtypeStruct(shape, vae.dtype)
     mem = fn.lower(vae.params, arg).compile().memory_analysis()
     total = int(mem.temp_size_in_bytes + mem.argument_size_in_bytes

@@ -35,9 +35,12 @@ def _load_one(path: str) -> np.ndarray:
             with safe_open(path, framework="numpy") as f:
                 key = list(f.keys())[0]
                 return np.asarray(f.get_tensor(key), dtype=np.float32)
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, AttributeError):
             # bf16 tensors (the packaged assets) aren't representable in
-            # numpy's dtype system — route through torch.
+            # numpy's dtype system — route through torch. AttributeError:
+            # some safetensors versions resolve dtypes via getattr(np, ...)
+            # (same failure mode model_manager._read_safetensors_numpy
+            # handles).
             from safetensors.torch import load_file
 
             d = load_file(path)

@@ -338,7 +338,11 @@ def test_convt_upsample_matches_pixel_shuffle(pair, monkeypatch):
     _, vae = pair
     rng = np.random.default_rng(7)
     z = jnp.asarray(rng.standard_normal((1, 2, 4, 3, LATENT)), jnp.float32)
-    stock = np.asarray(vae.decode(z))
+    # the convt lowering is the DEFAULT: build the pixel-shuffle baseline
+    # under an explicit False (a fresh VideoVAE per variant re-traces)
+    monkeypatch.setattr(M, "_UPSAMPLE_CONVT", False)
+    stock = np.asarray(
+        VideoVAE(vae.params, vae.cfg, dtype=jnp.float32).decode(z))
     monkeypatch.setattr(M, "_UPSAMPLE_CONVT", True)
     vae2 = VideoVAE(vae.params, vae.cfg, dtype=jnp.float32)
     convt = np.asarray(vae2.decode(z))
