@@ -367,3 +367,36 @@ def test_head_correction_conv_matches_concat(pair, monkeypatch):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(vae2.encode(x)), stock_enc,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_traces_pin_construction_time_switches(pair, monkeypatch):
+    """A VideoVAE must trace under the lowering switches it was constructed
+    with, even when a tool mutates the module globals BEFORE the first call
+    (the jitted python body only runs at trace time). Regression for the
+    _pinned wrapper: without it, the instance's memplan signature and its
+    compiled program could describe different lowerings."""
+    from seedvr2_tpu.models.vae import model as M
+
+    _, vae = pair
+    rng = np.random.default_rng(13)
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 3, LATENT)), jnp.float32)
+
+    monkeypatch.setattr(M, "_UPSAMPLE_CONVT", False)
+    baseline_vae = VideoVAE(vae.params, vae.cfg, dtype=jnp.float32)
+    # flip every switch AFTER construction but BEFORE the first (tracing)
+    # call; the head-correction path is bit-equal so assert on the convt
+    # snapshot via the traced HLO instead of output values
+    monkeypatch.setattr(M, "_UPSAMPLE_CONVT", True)
+    monkeypatch.setattr(M, "_HEAD_CORRECTION", True)
+    out = np.asarray(baseline_vae.decode(z))
+
+    monkeypatch.setattr(M, "_UPSAMPLE_CONVT", False)
+    monkeypatch.setattr(M, "_HEAD_CORRECTION", False)
+    fresh = np.asarray(
+        VideoVAE(vae.params, vae.cfg, dtype=jnp.float32).decode(z))
+    # bit-identical (same lowering, same program), not just allclose
+    np.testing.assert_array_equal(out, fresh)
+
+    # and the snapshot is what memplan keys on
+    assert baseline_vae._upsample_convt is False
+    assert baseline_vae._head_correction is False
