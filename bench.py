@@ -79,17 +79,20 @@ def _shapes(on_tpu: bool):
     if on_tpu:
         from seedvr2_tpu.core.configs import DIT_3B, DIT_7B, VAE_V3
 
-        # 64 px tile overlap is the serving config: the reference model
-        # API's own default (attn_video_vae.py:1184-1200), accuracy-gated
-        # by tests/test_vae_tiling.py. Caps are the r4-measured winners
-        # (tpu_session_r4.jsonl): encode 1536 -> 2x2 of 139x244 latent
-        # (4.71 s vs 5.11 at 1024); decode 1088 + the aspect-aware
-        # planner -> (4,2) of 74x244 (11.47 s vs 15.22 for the area-cost
-        # (2,4) of 139x126 and 12.36 for the r3 128 px config).
+        # Serving tile overlaps are the r5f-measured winners
+        # (tpu_session_r5f.jsonl, one session, median of 3 each):
+        # decode 48 px -> (4,2) of 72x243 latent, 11.02 s vs 13.63 s for
+        # the 64 px anchor (non-overlapping spreads; 71x242 @32 px and
+        # 38x480 strips were both slower); encode 32 px -> (2,2) of
+        # 137x242, 4.640 s vs 4.705 @64. Seam accuracy is gated down to
+        # 32 px by tests/test_vae_tiling.py. Caps are the r4-measured
+        # winners (tpu_session_r4.jsonl): encode 1536 (4.71 s vs 5.11 at
+        # 1024); decode 1088 + the aspect-aware planner (11.47 s vs
+        # 15.22 for the area-cost (2,4) and 12.36 for the r3 128 px).
         return dict(dit_cfg=DIT_3B, dit7b_cfg=DIT_7B, vae_cfg=VAE_V3,
                     in_h=2160, in_w=3840, lt=2, lh=270, lw=480, txt_len=58,
                     iters=2, enc_tile=(1536, 1536), dec_tile=(1088, 1088),
-                    tile_ov=(64, 64))
+                    enc_ov=(32, 32), dec_ov=(48, 48))
     from seedvr2_tpu.core.configs import VAEConfig, small_test_config
 
     return dict(dit_cfg=small_test_config(), dit7b_cfg=small_test_config(),
@@ -98,7 +101,7 @@ def _shapes(on_tpu: bool):
                                   norm_num_groups=4),
                 in_h=64, in_w=64, lt=2, lh=8, lw=8, txt_len=8,
                 iters=1, enc_tile=(48, 48), dec_tile=(48, 48),
-                tile_ov=(16, 16))
+                enc_ov=(16, 16), dec_ov=(16, 16))
 
 
 def _force(x):
@@ -175,7 +178,7 @@ def phase_encode(p):
         None, p["dit_cfg"], vae=vae,
         config=RunnerConfig(dit=p["dit_cfg"], vae=p["vae_cfg"]),
         encode_tiled=True, encode_tile_size=p["enc_tile"],
-        encode_tile_overlap=p["tile_ov"], tile_mode="uniform")
+        encode_tile_overlap=p["enc_ov"], tile_mode="uniform")
 
     def run(i):
         video = jax.random.uniform(
@@ -306,7 +309,7 @@ def phase_decode(p):
         None, p["dit_cfg"], vae=vae,
         config=RunnerConfig(dit=p["dit_cfg"], vae=p["vae_cfg"]),
         decode_tiled=True, decode_tile_size=p["dec_tile"],
-        decode_tile_overlap=p["tile_ov"], tile_mode="uniform")
+        decode_tile_overlap=p["dec_ov"], tile_mode="uniform")
     lat_c = p["vae_cfg"].latent_channels
 
     def run(i):

@@ -215,11 +215,14 @@ def parse_arguments():
         # so explicit flags always win over the preset.
         # encode 1536-cap measured 4.71 s vs 5.11 at 1024 (4K, r4 capture);
         # decode keeps the 1088 cap — the aspect-aware planner turns it
-        # into the measured-fastest (4,2) grid of 74x244 latent tiles
+        # into the measured-fastest (4,2) grid. Overlaps are the r5f
+        # winners (tpu_session_r5f.jsonl): decode 48 px 11.02 s vs 13.63
+        # at 64 px; encode 32 px 4.640 s vs 4.705 (seam-gated to 32 px
+        # by tests/test_vae_tiling.py)
         bundle = dict(quant="w8a8", tile_mode="uniform",
                       vae_encode_tiled=True, vae_decode_tiled=True,
                       vae_encode_tile_size=1536, vae_decode_tile_size=1088,
-                      vae_encode_tile_overlap=64, vae_decode_tile_overlap=64)
+                      vae_encode_tile_overlap=32, vae_decode_tile_overlap=48)
         for name, val in bundle.items():
             if getattr(args, name) == p.get_default(name):
                 setattr(args, name, val)

@@ -61,31 +61,35 @@ def test_plan_grid_covers_and_respects_cap():
         assert covered.all()
 
 
-def test_tiled_decode_seam_psnr_at_serving_overlap():
-    """Accuracy gate for the bench serving config's 64 px tile overlap.
+def test_tiled_decode_seam_psnr_at_serving_overlaps():
+    """Accuracy gate for the serving tile overlaps.
 
     The reference's model-level API default is tile_overlap=(64, 64)
-    (attn_video_vae.py:1184-1200); its CLI default is 128 px. Measured on
-    this random-weight tiny VAE (latent 24x32, 96 px tiles), tiled-vs-
-    untiled PSNR is 36.6 dB at 64 px vs 35.9 dB at 128 px — halving the
-    overlap does not degrade seams while cutting 4K decode redundancy
-    1.199x -> 1.081x (the absolute level is set by per-tile GroupNorm
-    statistics on random weights; real checkpoints sit much higher).
-    Floor at 30 dB: a broken fade/stitch (wrong mask, off-by-one crop)
-    lands below 20 dB."""
+    (attn_video_vae.py:1184-1200); its CLI default is 128 px. The r5f
+    TPU capture moved the serving defaults to decode 48 px / encode
+    32 px (tpu_session_r5f.jsonl: decode 11.02 s @48 vs 13.63 @64;
+    encode 4.640 @32 vs 4.705 @64), so this gate pins every overlap the
+    serving bundle can use. Measured on this random-weight tiny VAE
+    (latent 24x32, 96 px tiles), tiled-vs-untiled PSNR is 36.6 dB at
+    64 px, 35.7 at 48, 34.1 at 32 (the absolute level is set by per-tile
+    GroupNorm statistics on random weights; real checkpoints sit much
+    higher). Floor at 30 dB: a broken fade/stitch (wrong mask,
+    off-by-one crop) lands below 20 dB."""
     key = jax.random.PRNGKey(0)
     params = init_vae_params(key, CFG, dtype=jnp.float32)
     vae = VideoVAE(params, CFG, dtype=jnp.float32)
     z = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, 24, 32, 4),
                           jnp.float32)
     ref = np.asarray(vae.decode(z, tiled=False))
-    out = np.asarray(vae.decode(z, tiled=True, tile_size=(96, 96),
-                                tile_overlap=(64, 64), tile_mode="uniform"))
-    assert out.shape == ref.shape
     rng_span = float(ref.max() - ref.min())
-    mse = float(np.mean((out - ref) ** 2))
-    psnr = 10 * np.log10(rng_span ** 2 / mse)
-    assert psnr >= 30.0, f"tiled(ov=64px) vs untiled decode: {psnr:.1f} dB"
+    for ov in (64, 48, 32):
+        out = np.asarray(vae.decode(z, tiled=True, tile_size=(96, 96),
+                                    tile_overlap=(ov, ov),
+                                    tile_mode="uniform"))
+        assert out.shape == ref.shape
+        mse = float(np.mean((out - ref) ** 2))
+        psnr = 10 * np.log10(rng_span ** 2 / mse)
+        assert psnr >= 30.0, f"tiled(ov={ov}px) vs untiled: {psnr:.1f} dB"
 
 
 def test_forced_tile_grid_matches_planned_and_untiled():
@@ -176,6 +180,13 @@ def test_aspect_cost_plans_measured_fastest_4k_grid():
     assert (len(ys), len(xs), th, tw) == (4, 2, 74, 244)
     ys, th, xs, tw = _plan_grid(270, 480, 136 * 136, 8, 8)
     assert (len(ys), len(xs), th, tw) == (2, 4, 139, 126)
+    # r5f serving grids (tpu_session_r5f.jsonl): decode 48 px overlap ->
+    # (4,2) of 72x243 (11.02 s vs 13.63 at 64 px); encode 32 px -> (2,2)
+    # of 137x242 (4.640 s vs 4.705)
+    ys, th, xs, tw = _plan_grid(270, 480, 136 * 136, 6, 6, cost="aspect")
+    assert (len(ys), len(xs), th, tw) == (4, 2, 72, 243)
+    ys, th, xs, tw = _plan_grid(270, 480, 192 * 192, 4, 4)
+    assert (len(ys), len(xs), th, tw) == (2, 2, 137, 242)
     # aspect planning still honors the cap + coverage invariants
     rng = np.random.default_rng(1)
     for _ in range(25):
