@@ -101,7 +101,8 @@ def parse_arguments():
                            "reference-parity defaults; 'throughput' = the "
                            "accuracy-gated TPU serving config behind the "
                            "bench headline (w8a8 DiT, tiled VAE with "
-                           "1088/1024 px tiles at 64 px overlap — gates: "
+                           "1536 px encode / 1088 px decode tiles at "
+                           "32/48 px overlap — gates: "
                            "w8a8 pipeline PSNR >= 69 dB vs the fp32 oracle, "
                            "tiled-vs-untiled seams unchanged vs the 128 px "
                            "default; tests/test_pipeline_oracle.py, "

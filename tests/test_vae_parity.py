@@ -382,10 +382,12 @@ def test_traces_pin_construction_time_switches(pair, monkeypatch):
     z = jnp.asarray(rng.standard_normal((1, 2, 4, 3, LATENT)), jnp.float32)
 
     monkeypatch.setattr(M, "_UPSAMPLE_CONVT", False)
+    monkeypatch.setattr(M, "_HEAD_CORRECTION", False)
     baseline_vae = VideoVAE(vae.params, vae.cfg, dtype=jnp.float32)
     # flip every switch AFTER construction but BEFORE the first (tracing)
-    # call; the head-correction path is bit-equal so assert on the convt
-    # snapshot via the traced HLO instead of output values
+    # call. The head-correction path is bit-equal by linearity, so the
+    # output comparison below only detects a leaked convt lowering; the
+    # head-correction pin is covered by the snapshot asserts at the end.
     monkeypatch.setattr(M, "_UPSAMPLE_CONVT", True)
     monkeypatch.setattr(M, "_HEAD_CORRECTION", True)
     out = np.asarray(baseline_vae.decode(z))

@@ -2,7 +2,7 @@
 
 The decode/encode serving overlap is 64 px (the reference model API's
 own default, attn_video_vae.py:1184-1200). The CPU seam gate holds well
-below that (tiny-model tiled-vs-untiled PSNR: 36.5 dB @64px, 35.7 @48,
+below that (tiny-model tiled-vs-untiled PSNR: 36.6 dB @64px, 35.7 @48,
 34.1 @32 — floor 30; full-width strip grids measure BETTER, 36-38.6 dB,
 because they have no vertical seams), so the remaining overlap is a
 pure redundancy tax:
@@ -37,10 +37,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from _session_harness import SessionHarness, force, reps, sweep  # noqa: E402
+from _session_harness import (HBM_BUDGET_GIB, SessionHarness, force,  # noqa: E402
+                              reps, sweep)
 
 LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_session_r5f.jsonl"
-HBM_BUDGET_GIB = 15.5
 
 
 def _fresh_vae():
@@ -107,7 +107,11 @@ def main():
     h.guard("decode_ov48", lambda: decode_variant(48))
     h.guard("decode_ov32_grid4x2", lambda: decode_variant(32, grid=(4, 2)))
     if mem and mem.get("ok") and mem.get("total_gib", 99) < HBM_BUDGET_GIB:
-        h.guard("decode_ov32_strips_8x1", lambda: decode_variant(32))
+        # force the probed grid rather than trusting the aspect planner
+        # to re-pick (8,1): the timed program must be the one the memory
+        # probe gated on, even if the fitted cost model changes
+        h.guard("decode_ov32_strips_8x1", lambda: decode_variant(32,
+                                                                 grid=(8, 1)))
     else:
         h.log({"step": "decode_ov32_strips_8x1", "ok": False,
                "error": f"gated out by mem probe: {mem}"})
